@@ -1,0 +1,148 @@
+"""Full anomaly-scoring pipeline: window scores -> frame AUC-ROC.
+
+Replaces the reference's 4-deep Python loop (eval_COSKAD.py:140-253 and the
+per-module `post_processing` copies, e.g. euclidean_encoder_staticCenter.py:
+228-310) with a vectorized pass. Semantics are kept exactly:
+
+  for each transformation:
+    for each (scene, clip) in sorted ground-truth order:
+      for each actor: scatter window scores to frames, mean non-zero,
+                      optional pad_scores
+      clip score = max over actors per frame
+      optional HR mask (Avenue hardcoded table / UBnormal npy masks)
+      shift + Gaussian smooth (score_process)
+    concat clips -> transform score vector
+  final score = mean over transformations; AUC against ground truth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .auc import roc_auc_score
+from .frames import actor_frame_scores, pad_scores
+from .smoothing import SHIFT, score_process
+
+
+@dataclass
+class ScoringConfig:
+    num_transform: int = 5
+    pad_size: int = -1  # -1 disables pad_scores
+    smoothing_sigma: float = 30.0
+    shift: int = SHIFT
+
+
+@dataclass
+class EvalResult:
+    auc: float
+    per_transform_auc: List[float]
+    per_clip_auc: Dict[Tuple[int, int], float] = field(default_factory=dict)
+    scores: Optional[np.ndarray] = None  # final per-frame scores (masked+smoothed)
+    gt: Optional[np.ndarray] = None
+
+
+def evaluate_windows(
+    window_scores: np.ndarray,
+    trans: np.ndarray,
+    meta: np.ndarray,
+    frame_ids: np.ndarray,
+    ground_truths: Dict[Tuple[int, int], np.ndarray],
+    cfg: ScoringConfig,
+    hr_clip_masks: Optional[Dict[Tuple[int, int], np.ndarray]] = None,
+    avenue_clip_masks: Optional[Dict[int, np.ndarray]] = None,
+) -> EvalResult:
+    """Aggregate per-window anomaly scores into a frame-level AUC.
+
+    Args:
+        window_scores: [N] scalar anomaly score per (window, transform) item.
+        trans: [N] transform index per item.
+        meta: [N, 4] (scene_id, clip_id, person_id, start_frame).
+        frame_ids: [N, T] actual frame keys covered by each window.
+        ground_truths: {(scene, clip): [n_frames] binary labels}, iterated in
+            sorted key order like the reference's sorted gt-file listing.
+        cfg: scoring configuration.
+        hr_clip_masks: optional {(scene, clip): bool mask} (HR-UBnormal).
+        avenue_clip_masks: optional {clip: bool mask} (HR-Avenue table).
+    """
+    window_scores = np.asarray(window_scores)
+    trans = np.asarray(trans)
+    meta = np.asarray(meta)
+    frame_ids = np.asarray(frame_ids)
+    hr_clip_masks = hr_clip_masks or {}
+    avenue_clip_masks = avenue_clip_masks or {}
+
+    clip_keys = sorted(ground_truths.keys())
+    per_transform_scores: List[np.ndarray] = []
+    per_transform_gt: List[np.ndarray] = []
+    per_transform_auc: List[float] = []
+    per_clip_auc: Dict[Tuple[int, int], float] = {}
+
+    for transformation in range(cfg.num_transform):
+        cond_t = trans == transformation
+        meta_t = meta[cond_t]
+        scores_t = window_scores[cond_t]
+        frames_t = frame_ids[cond_t]
+
+        clip_scores_list: List[np.ndarray] = []
+        gt_list: List[np.ndarray] = []
+        for scene_idx, clip_idx in clip_keys:
+            gt = np.asarray(ground_truths[(scene_idx, clip_idx)])
+            n_frames = gt.shape[0]
+            cond_sc = (meta_t[:, 0] == scene_idx) & (meta_t[:, 1] == clip_idx)
+            meta_sc = meta_t[cond_sc]
+            scores_sc = scores_t[cond_sc]
+            frames_sc = frames_t[cond_sc]
+
+            if len(meta_sc) == 0:
+                # No detected person at all: the clip scores 0 everywhere.
+                clip_score = np.zeros(n_frames)
+            else:
+                fig_ids = np.unique(meta_sc[:, 2])
+                dense = np.searchsorted(fig_ids, meta_sc[:, 2])
+                per_actor = actor_frame_scores(
+                    scores_sc, dense, frames_sc, n_frames, len(fig_ids)
+                )
+                if cfg.pad_size != -1:
+                    per_actor = np.stack(
+                        [pad_scores(row, n_frames, cfg.pad_size) for row in per_actor]
+                    )
+                clip_score = np.amax(per_actor, axis=0)
+
+            if (scene_idx, clip_idx) in hr_clip_masks:
+                m = hr_clip_masks[(scene_idx, clip_idx)]
+                clip_score = clip_score[m]
+                gt = gt[m]
+            elif clip_idx in avenue_clip_masks:
+                m = avenue_clip_masks[clip_idx]
+                clip_score = clip_score[m]
+                gt = gt[m]
+
+            clip_score = score_process(clip_score, cfg.smoothing_sigma, cfg.shift)
+            clip_scores_list.append(clip_score)
+            gt_list.append(gt)
+
+            if transformation == 0:
+                try:
+                    per_clip_auc[(scene_idx, clip_idx)] = roc_auc_score(gt, clip_score)
+                except ValueError:
+                    pass  # single-class clip
+
+        model_scores = np.concatenate(clip_scores_list, axis=0)
+        dataset_gt = np.concatenate(gt_list, axis=0)
+        per_transform_scores.append(model_scores)
+        per_transform_gt.append(dataset_gt)
+        per_transform_auc.append(roc_auc_score(dataset_gt, model_scores))
+
+    final_scores = np.mean(np.stack(per_transform_scores, 0), 0)
+    final_gt = per_transform_gt[0]
+    auc = roc_auc_score(final_gt, final_scores)
+    return EvalResult(
+        auc=auc,
+        per_transform_auc=per_transform_auc,
+        per_clip_auc=per_clip_auc,
+        scores=final_scores,
+        gt=final_gt,
+    )

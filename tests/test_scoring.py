@@ -1,0 +1,196 @@
+"""Scoring stack: AUC vs sklearn, Gaussian smoothing vs scipy, the
+window->frame scatter vs a direct port of the reference's loop semantics,
+pad_scores interval logic, and the end-to-end aggregation."""
+
+import numpy as np
+import pytest
+
+from coskad_tpu.score import aggregate, auc, frames, smoothing
+
+
+# ---------------------------------------------------------------- AUC
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_auc_matches_sklearn(seed):
+    sk = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 2, 500)
+    y[0], y[1] = 0, 1  # both classes present
+    # include ties
+    s = np.round(rng.normal(size=500), 1)
+    np.testing.assert_allclose(
+        auc.roc_auc_score(y, s), sk.roc_auc_score(y, s), rtol=1e-12
+    )
+
+
+def test_auc_perfect_and_chance():
+    y = np.array([0, 0, 1, 1])
+    assert auc.roc_auc_score(y, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
+    assert auc.roc_auc_score(y, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
+    assert auc.roc_auc_score(y, np.array([0.5, 0.5, 0.5, 0.5])) == 0.5
+
+
+def test_roc_curve_matches_sklearn():
+    sk = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 2, 200)
+    y[:2] = [0, 1]
+    s = np.round(rng.normal(size=200), 2)
+    fpr_r, tpr_r, _ = sk.roc_curve(y, s, drop_intermediate=False)
+    fpr_o, tpr_o, _ = auc.roc_curve(y, s)
+    np.testing.assert_allclose(fpr_o, fpr_r)
+    np.testing.assert_allclose(tpr_o, tpr_r)
+
+
+# ---------------------------------------------------------------- smoothing
+
+
+@pytest.mark.parametrize("n", [40, 200, 1500])
+def test_gaussian_filter_matches_scipy(n):
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    x = np.random.default_rng(n).normal(size=n)
+    ref = scipy_nd.gaussian_filter1d(x, 30)
+    ours = smoothing.gaussian_filter1d(x, 30)
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_score_process_matches_reference_semantics():
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    score = np.random.default_rng(3).random(500)
+    shifted = np.zeros_like(score)
+    shift = 8 + (8 // 2) - 1
+    shifted[shift:] = score[:-shift]
+    ref = scipy_nd.gaussian_filter1d(shifted, 30)
+    np.testing.assert_allclose(smoothing.score_process(score), ref, rtol=1e-10)
+
+
+# ---------------------------------------------------------------- scatter
+
+
+def _reference_windows_based(losses, frames_fig, n_frames):
+    """Direct port of the reference loop (utils/eval_utils.py:57-74 +
+    eval_COSKAD.py:201-203) used as a semantic oracle."""
+    w = len(losses)
+    pose = np.zeros((w, n_frames))
+    for n in range(w):
+        pose[n, frames_fig[n] - 1] = losses[n]
+    pose = np.where(pose == 0.0, np.nan, pose)
+    out = np.nanmean(pose, 0)
+    return np.where(np.isnan(out), 0, out)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_actor_frame_scores_matches_reference_loop(seed):
+    rng = np.random.default_rng(seed)
+    n_frames, t = 60, 12
+    n_windows = 25
+    losses = rng.random(n_windows) + 0.01
+    losses[3] = 0.0  # exact-zero score treated as missing
+    starts = rng.integers(1, n_frames - t, n_windows)
+    frame_ids = starts[:, None] + np.arange(t)[None, :]
+
+    ref = _reference_windows_based(losses, frame_ids, n_frames)
+    ours = frames.actor_frame_scores(
+        losses, np.zeros(n_windows, int), frame_ids, n_frames, 1
+    )[0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+def test_actor_frame_scores_multi_actor():
+    rng = np.random.default_rng(11)
+    n_frames, t = 40, 5
+    losses = rng.random(10) + 0.1
+    actor = np.array([0] * 5 + [1] * 5)
+    starts = rng.integers(1, n_frames - t, 10)
+    frame_ids = starts[:, None] + np.arange(t)[None, :]
+    ours = frames.actor_frame_scores(losses, actor, frame_ids, n_frames, 2)
+    for a in range(2):
+        ref = _reference_windows_based(losses[actor == a], frame_ids[actor == a], n_frames)
+        np.testing.assert_allclose(ours[a], ref, rtol=1e-12)
+
+
+# ---------------------------------------------------------------- pad_scores
+
+
+def _reference_pad_scores(fig_reconstruction_loss, gt_len, pad_size):
+    """Direct port of reference utils/eval_utils.py:210-248 as oracle."""
+
+    def ranges(nums):
+        nums = sorted(set(nums))
+        gaps = [[s, e] for s, e in zip(nums, nums[1:]) if s + 1 < e]
+        edges = iter(nums[:1] + sum(gaps, []) + nums[-1:])
+        return list(zip(edges, edges))
+
+    out = fig_reconstruction_loss.copy()
+    zero_interval = set(range(gt_len - 1)) - set(np.nonzero(out)[0])
+    nope = []
+    for interval in ranges(zero_interval):
+        start, end = interval
+        if start == 0 and end == gt_len - 2:
+            continue
+        elif start == 0 and end != gt_len - 2:
+            nope.append((start, min(end + pad_size, gt_len)))
+        elif start != 0 and end == gt_len - 2:
+            nope.append((max(start - pad_size, 0), end))
+        else:
+            nope.append((max(start - pad_size, 0), min(end + pad_size, gt_len)))
+    for interval in nope:
+        out[range(interval[0], interval[1])] = 0
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("pad", [2, 5, 10])
+def test_pad_scores_matches_reference(seed, pad):
+    rng = np.random.default_rng(seed)
+    n = 80
+    scores = rng.random(n)
+    # Carve some absence intervals, including boundary-touching ones.
+    scores[:5] = 0.0 if seed % 2 else scores[:5]
+    scores[20:30] = 0.0
+    scores[70:] = 0.0 if seed % 3 else scores[70:]
+    ref = _reference_pad_scores(scores.copy(), n, pad)
+    ours = frames.pad_scores(scores, n, pad)
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_pad_scores_all_absent_untouched():
+    scores = np.zeros(50)
+    out = frames.pad_scores(scores, 50, 5)
+    np.testing.assert_allclose(out, scores)
+
+
+# ---------------------------------------------------------------- end-to-end
+
+
+def test_evaluate_windows_anomaly_detected():
+    """Synthetic sanity: windows over anomalous frames score higher ->
+    AUC far above chance; also exercises multi-transform averaging."""
+    rng = np.random.default_rng(0)
+    n_frames = 200
+    gt = np.zeros(n_frames, dtype=int)
+    gt[100:140] = 1
+    t = 12
+    num_t = 2
+    starts = np.arange(1, n_frames - t, 1)
+    n_w = len(starts)
+    metas, transs, scoress, frames_list = [], [], [], []
+    for tr in range(num_t):
+        for s in starts:
+            is_anom = gt[s - 1 : s - 1 + t].any()
+            metas.append([1, 1, 7, s])
+            transs.append(tr)
+            scoress.append(rng.random() * 0.1 + (1.0 if is_anom else 0.1))
+            frames_list.append(np.arange(s, s + t))
+    res = aggregate.evaluate_windows(
+        np.asarray(scoress),
+        np.asarray(transs),
+        np.asarray(metas),
+        np.asarray(frames_list),
+        {(1, 1): gt},
+        aggregate.ScoringConfig(num_transform=num_t),
+    )
+    assert res.auc > 0.9
+    assert len(res.per_transform_auc) == num_t
+    assert res.scores.shape == (n_frames,)
