@@ -1,0 +1,228 @@
+"""STSE / STSAE / STSVAE: the COSKAD model family (flax.linen).
+
+One canonical API serving all call sites (resolving the reference's
+missing-module split, SURVEY.md section 0.1): an STS-GCN encoder stack, a
+projector ("btlnk") to the latent space, optionally a mirrored decoder
+(STSAE), optionally variational heads with PowerSpherical or Normal latents
+(STSVAE). Reference: models/sts/ae.py (STSE/STSAE), models/sts/vae.py
+(STSVAE), models/common/components.py (Encoder/Decoder/MLP).
+
+The center `c`, inverse covariance and mean_vector are NOT hidden buffers
+here — they are explicit training-state arrays (see train/state.py), the
+functional-JAX equivalent of the reference's registered buffers
+(models/sts/ae.py:69-73, models/sts/vae.py:57-60).
+
+I/O is the reference's NCTV layout [B, C, T, V]; internally everything is
+channels-last. Flatten order for the projector is (T, V, C); a
+weight-transplant from the reference's (C, T, V) flatten must permute the
+projector kernel accordingly (see tests/test_model_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .stsgcn import (
+    MLPHead,
+    STSGCNStack,
+    torch_bias_init_from_fan,
+    torch_linear_kernel_init,
+)
+
+
+def _dense(features: int, fan_in: int, use_bias: bool, name: str) -> nn.Dense:
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=torch_linear_kernel_init,
+        bias_init=torch_bias_init_from_fan(fan_in),
+        name=name,
+    )
+
+
+class STSE(nn.Module):
+    """Space-Time-Separable Graph Convolutional Encoder.
+
+    forward: [B, C_in, T, V] -> latent [B, latent_dim].
+    """
+
+    input_dim: int = 2
+    layer_channels: Sequence[int] = (32, 16, 32)
+    hidden_dimension: int = 64
+    latent_dim: int = 16
+    n_frames: int = 12
+    n_joints: int = 17
+    projector: str = "linear"  # 'linear' | 'mlp'
+    projector_hidden_layers: Optional[Sequence[int]] = None
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    def setup(self):
+        self.encoder = STSGCNStack(
+            channel_schedule=list(self.layer_channels) + [self.hidden_dimension],
+            time_dim=self.n_frames,
+            joints_dim=self.n_joints,
+            dropout=self.dropout,
+            use_bias=self.use_bias,
+            name="encoder",
+        )
+        flat = self.hidden_dimension * self.n_frames * self.n_joints
+        proj = self.projector.lower()
+        if proj == "linear":
+            self.btlnk = _dense(self.latent_dim, flat, self.use_bias, "btlnk")
+        elif proj == "mlp":
+            hidden = list(self.projector_hidden_layers or [self.latent_dim])
+            self.btlnk = MLPHead(
+                hidden_layers=hidden,
+                output_size=self.latent_dim,
+                use_bias=self.use_bias,
+                name="btlnk",
+            )
+        else:
+            raise ValueError(f"Unsupported projector {self.projector!r}")
+
+    def _apply_btlnk(self, x, train: bool):
+        if isinstance(self.btlnk, MLPHead):
+            return self.btlnk(x, train=train)
+        return self.btlnk(x)
+
+    def encode(self, x, train: bool = False):
+        """[B, C, T, V] -> (latent [B, D], hidden [B, T, V, hidden])."""
+        x = jnp.transpose(x, (0, 2, 3, 1))  # NCTV -> NTVC
+        h = self.encoder(x, train=train)
+        flat = h.reshape(h.shape[0], -1)  # (T, V, C) flatten order
+        z = self._apply_btlnk(flat, train)
+        return z, h
+
+    def __call__(self, x, train: bool = False):
+        z, _ = self.encode(x, train=train)
+        return z
+
+
+class STSAE(STSE):
+    """STSE + mirrored STS-GCN decoder; forward -> (latent, reconstruction).
+
+    decoder_channels lets the auxiliary decoder be narrower than the encoder
+    (the spherical VAE config uses [8, 8]); default mirrors the encoder.
+    """
+
+    decoder_channels: Optional[Sequence[int]] = None
+
+    def setup(self):
+        super().setup()
+        flat = self.hidden_dimension * self.n_frames * self.n_joints
+        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk")
+        dec_channels = list(self.decoder_channels or self.layer_channels[::-1])
+        self.decoder = STSGCNStack(
+            channel_schedule=dec_channels + [self.input_dim],
+            time_dim=self.n_frames,
+            joints_dim=self.n_joints,
+            dropout=self.dropout,
+            use_bias=self.use_bias,
+            name="decoder",
+        )
+
+    def decode(self, z, train: bool = False):
+        """latent [B, D] -> reconstruction [B, C_in, T, V]."""
+        h = self.rev_btlnk(z)
+        # Reference reshapes (hidden, T, V) channel-major
+        # (models/sts/ae.py:222-226); mirror that, then go channels-last.
+        h = h.reshape(h.shape[0], self.hidden_dimension, self.n_frames, self.n_joints)
+        h = jnp.transpose(h, (0, 2, 3, 1))
+        x = self.decoder(h, train=train)
+        return jnp.transpose(x, (0, 3, 1, 2))  # NTVC -> NCTV
+
+    def __call__(self, x, train: bool = False):
+        z, _ = self.encode(x, train=train)
+        recon = self.decode(z, train=train)
+        return z, recon
+
+
+class STSVAE(STSAE):
+    """Variational STSAE with PowerSpherical ('ps') or diagonal-Normal
+    latents (reference models/sts/vae.py).
+
+    forward -> (z_sample, reconstruction, (z_mean, z_var)). Sampling uses the
+    'sample' RNG collection; pass `sample=False` for the deterministic mean
+    path (used at eval, matching the reference's predict-time behaviour of
+    scoring the sampled latent — eval uses sample=True there; both exposed).
+    """
+
+    distribution: str = "ps"  # 'ps' | 'normal'
+
+    def setup(self):
+        # STSAE.setup builds encoder/decoder/rev_btlnk; the VAE projector is
+        # Identity for 'linear' and an MLP for 'mlp'
+        # (models/sts/vae.py:135-169).
+        STSE.setup(self)  # builds encoder + btlnk (overridden below)
+        flat = self.hidden_dimension * self.n_frames * self.n_joints
+        proj = self.projector.lower()
+        if proj == "mlp":
+            head_in = self.latent_dim
+        else:
+            head_in = flat
+        self.fc_mean = _dense(self.latent_dim, head_in, True, "fc_mean")
+        var_out = 1 if self.distribution == "ps" else self.latent_dim
+        self.fc_var = _dense(var_out, head_in, True, "fc_var")
+        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk")
+        dec_channels = list(self.decoder_channels or self.layer_channels[::-1])
+        self.decoder = STSGCNStack(
+            channel_schedule=dec_channels + [self.input_dim],
+            time_dim=self.n_frames,
+            joints_dim=self.n_joints,
+            dropout=self.dropout,
+            use_bias=self.use_bias,
+            name="decoder",
+        )
+
+    def _apply_btlnk(self, x, train: bool):
+        if self.projector.lower() == "mlp":
+            return self.btlnk(x, train=train)
+        return x  # identity projector for 'linear' (models/sts/vae.py:151)
+
+    def encode_distribution(self, x, train: bool = False):
+        """-> (z_mean [B, D], z_var [B, D or 1])."""
+        z, _ = self.encode(x, train=train)
+        z_mean = self.fc_mean(z)
+        if self.distribution == "ps":
+            z_mean = z_mean / jnp.linalg.norm(z_mean, axis=-1, keepdims=True)
+        z_var = nn.softplus(self.fc_var(z)) + 1.0  # +1 prevents collapse
+        return z_mean, z_var
+
+    def __call__(self, x, train: bool = False, sample: bool = True):
+        from ..geometry.sphere import PowerSpherical
+
+        z_mean, z_var = self.encode_distribution(x, train=train)
+        if sample:
+            key = self.make_rng("sample")
+            if self.distribution == "ps":
+                z = PowerSpherical(z_mean, jnp.squeeze(z_var, -1)).rsample(key)
+            else:
+                z = z_mean + z_var * jax.random.normal(key, z_mean.shape)
+        else:
+            z = z_mean
+        recon = self.decode(z, train=train)
+        return z, recon, (z_mean, z_var)
+
+
+def build_model(
+    use_decoder: bool = False,
+    use_vae: bool = False,
+    **kwargs,
+):
+    """Variant factory mirroring the reference's flag dispatch
+    (train_COSKAD.py:36-55): use_vae -> STSVAE, use_decoder -> STSAE,
+    else STSE. Hyperbolic/static-center variants share the STSE model and
+    differ only in objective/center rule (train/objectives.py)."""
+    if use_vae:
+        return STSVAE(**kwargs)
+    if use_decoder:
+        kwargs.pop("distribution", None)
+        return STSAE(**kwargs)
+    kwargs.pop("distribution", None)
+    kwargs.pop("decoder_channels", None)
+    return STSE(**kwargs)

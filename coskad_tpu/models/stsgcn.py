@@ -1,0 +1,184 @@
+"""Space-Time-Separable GCN layers (flax.linen).
+
+TPU-native redesign of the reference's ST-GCNN building block
+(models/graph_layers/stsgcn.py:9-156): two learnable dense adjacency
+contractions — temporal Tadj[V, T, T] and spatial Aadj[T, V, V] — followed by
+a 1x1 convolution (a feature-dim dense layer), BatchNorm, dropout, a residual
+1x1 conv when channels change, and PReLU.
+
+Layout: tensors flow through the stack channels-last [B, T, V, C] so the 1x1
+conv is a plain matmul on the minor dimension (MXU-friendly) and the graph
+contractions are einsums over the small T/V axes that XLA fuses into batched
+matmuls; wrappers at the model boundary accept the reference's NCTV layout.
+Initialization matches torch semantics (uniform +-1/sqrt(fan) for the
+adjacencies, kaiming-uniform-style conv defaults, PReLU alpha 0.25) so
+weights can be transplanted for golden parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _uniform_init(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear/Conv2d default: kaiming_uniform(a=sqrt(5)) which
+    reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for the kernel."""
+    fan_in = shape[0]
+    bound = 1.0 / jnp.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_bias_init_from_fan(fan_in: int):
+    bound = 1.0 / float(fan_in) ** 0.5
+    return _uniform_init(bound)
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single shared slope (torch default, init 0.25)."""
+
+    init_alpha: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda *_: jnp.asarray(self.init_alpha, jnp.float32))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class SpaceTimeGraphConv(nn.Module):
+    """The separable graph contraction: X <- X @_t Tadj, then X @_v Aadj.
+
+    Input/output [B, T, V, C]. Equivalent to the reference's
+    einsum('nctv,vtq->ncqv') + einsum('nctv,tvw->nctw')
+    (models/graph_layers/stsgcn.py:154-155) in channels-last layout.
+    """
+
+    time_dim: int
+    joints_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        t, v = self.time_dim, self.joints_dim
+        t_adj = self.param("t_adj", _uniform_init(1.0 / t**0.5), (v, t, t))
+        a_adj = self.param("a_adj", _uniform_init(1.0 / v**0.5), (t, v, v))
+        # temporal mixing per joint: out[b, q, v, c] = sum_t x[b, t, v, c] * T[v, t, q]
+        x = jnp.einsum("btvc,vtq->bqvc", x, t_adj)
+        # spatial mixing per frame: out[b, t, w, c] = sum_v x[b, t, v, c] * A[t, v, w]
+        x = jnp.einsum("btvc,tvw->btwc", x, a_adj)
+        return x
+
+
+class STSGCNLayer(nn.Module):
+    """Full ST-GCNN layer: graph conv -> 1x1 dense + BN + dropout, residual,
+    PReLU. Channels-last [B, T, V, C_in] -> [B, T, V, C_out]."""
+
+    out_channels: int
+    time_dim: int
+    joints_dim: int
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_channels = x.shape[-1]
+        res = x
+        if in_channels != self.out_channels:
+            res = nn.Dense(
+                self.out_channels,
+                use_bias=self.use_bias,
+                kernel_init=torch_linear_kernel_init,
+                bias_init=torch_bias_init_from_fan(in_channels),
+                name="residual_dense",
+            )(x)
+            res = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name="residual_bn",
+            )(res)
+
+        x = SpaceTimeGraphConv(self.time_dim, self.joints_dim, name="gcn")(x)
+        x = nn.Dense(
+            self.out_channels,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_bias_init_from_fan(in_channels),
+            name="tcn_dense",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="tcn_bn"
+        )(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = x + res
+        return PReLU(name="prelu")(x)
+
+
+class STSGCNStack(nn.Module):
+    """Sequential ST-GCNN layers over a channel schedule.
+
+    Encoder: schedule = layer_channels + [hidden_dim]
+    Decoder: schedule = reversed(layer_channels) + [output_dim]
+    (reference models/common/components.py:70-105, 143-165).
+    """
+
+    channel_schedule: Sequence[int]
+    time_dim: int
+    joints_dim: int
+    dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, ch in enumerate(self.channel_schedule):
+            x = STSGCNLayer(
+                out_channels=ch,
+                time_dim=self.time_dim,
+                joints_dim=self.joints_dim,
+                dropout=self.dropout,
+                use_bias=self.use_bias,
+                name=f"layer_{i}",
+            )(x, train=train)
+        return x
+
+
+class MLPHead(nn.Module):
+    """Linear -> BatchNorm -> ReLU per hidden layer, then a final Linear
+    (reference models/common/components.py:209-226 intent)."""
+
+    hidden_layers: Sequence[int]
+    output_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, h in enumerate(self.hidden_layers):
+            fan_in = x.shape[-1]
+            x = nn.Dense(
+                h,
+                use_bias=self.use_bias,
+                kernel_init=torch_linear_kernel_init,
+                bias_init=torch_bias_init_from_fan(fan_in),
+                name=f"hidden_{i}",
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"bn_{i}",
+            )(x)
+            x = nn.relu(x)
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            self.output_size,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_bias_init_from_fan(fan_in),
+            name="out",
+        )(x)

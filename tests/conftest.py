@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A pytest plugin may import jax before this conftest runs, capturing the
+# ambient JAX_PLATFORMS (the experimental TPU tunnel) into jax.config — so
+# the env var alone is not enough; set the config explicitly too.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: this host has a single CPU core and XLA
 # compiles dominate test runtime; the cache amortizes them across runs.
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
