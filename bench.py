@@ -1,0 +1,197 @@
+"""Benchmark: pose-window training+scoring throughput per chip.
+
+Prints ONE JSON line:
+    {"metric": "pose_windows_per_sec_per_chip", "value": N, "unit":
+     "windows/sec/chip", "vs_baseline": R}
+
+The workload is the flagship COSKAD config at HR-Avenue scale (STSE
+2->32->16->32->64, latent 16, windows [2, 12, 18], batch 2048, 5 geometric
+transforms computed on device): one training pass over the resident window
+set plus a full scoring pass (embed + window scores), the same work the
+reference does per epoch on GPU/CPU.
+
+vs_baseline divides by a torch-CPU reference step measured on this host (the
+reference implementation is pure-torch; a minimal equivalent model is timed
+for a few steps and cached in .bench_cpu_baseline.json). BASELINE.md's
+target is >10x that CPU number per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_WINDOWS = 20000
+BATCH = 2048
+T, V = 12, 18
+CHANNELS = (32, 16, 32)
+H_DIM, LATENT = 64, 16
+TRAIN_STEPS_TIMED = 40
+CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_tpu() -> float:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    import jax.numpy as jnp
+
+    from coskad_tpu.config import Config, DataConfig, ModelConfig, OptConfig
+    from coskad_tpu.data.windows import SegmentDataset
+    from coskad_tpu.parallel import batch_sharding, create_mesh
+    from coskad_tpu.train.loop import Trainer
+
+    n_chips = jax.device_count()
+    log(f"[bench] devices: {jax.devices()}")
+    cfg = Config(
+        model=ModelConfig(variant="euclidean_static", channels=CHANNELS,
+                          h_dim=H_DIM, latent_dim=LATENT),
+        data=DataConfig(seg_len=T, batch_size=BATCH, num_transform=5,
+                        n_joints_override=V),
+        opt=OptConfig(lr=1e-4),
+    )
+    rng = np.random.default_rng(0)
+    ds = SegmentDataset(
+        data=rng.normal(size=(N_WINDOWS, 3, T, V)).astype(np.float32),
+        meta=np.tile([1, 1, 1, 1], (N_WINDOWS, 1)).astype(np.int64),
+        frame_ids=np.tile(np.arange(1, T + 1), (N_WINDOWS, 1)).astype(np.int32),
+        num_transform=5,
+    )
+    mesh = create_mesh()
+    trainer = Trainer(cfg, ds, mesh=mesh)
+    state = trainer.init_state()
+    state = state.replace(center=jnp.ones((LATENT,)) * 0.1)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    chunk_sharding = NamedSharding(mesh, P(None, "data"))
+    perm = np.random.default_rng(1).permutation(len(ds))
+
+    def idx_chunks(k):
+        idx = perm[: k * BATCH].reshape(k, BATCH)
+        return jax.device_put(jnp.asarray(idx), chunk_sharding)
+
+    # Warmup / compile with the SAME chunk shapes as the timed runs (scan
+    # length is a static shape; differing K would recompile inside timing).
+    k_score = 10
+    chunks = idx_chunks(TRAIN_STEPS_TIMED)
+    score_chunks_warm = idx_chunks(k_score)
+    state, m = trainer._train_epoch(state, trainer.train_data, chunks)
+    jax.block_until_ready(m["loss"])
+    z = trainer._embed_many(state.params, state.batch_stats, trainer.train_data,
+                            score_chunks_warm, state.rng)
+    jax.block_until_ready(z)
+    t0 = time.perf_counter()
+    state, m = trainer._train_epoch(state, trainer.train_data, chunks)
+    jax.block_until_ready(m["loss"])
+    train_time = time.perf_counter() - t0
+    train_wps = BATCH * TRAIN_STEPS_TIMED / train_time
+
+    # Timed scoring pass (embed + window scores), one dispatch.
+    n_score = BATCH * k_score
+    score_chunks = idx_chunks(k_score)
+    t0 = time.perf_counter()
+    zs = trainer._embed_many(state.params, state.batch_stats,
+                             trainer.train_data, score_chunks, state.rng)
+    scores = trainer._score_fn(zs.reshape(n_score, -1), state.center,
+                               state.inv_cov, state.mean_vector)
+    jax.block_until_ready(scores)
+    score_time = time.perf_counter() - t0
+    score_wps = n_score / score_time
+
+    # Combined epoch-equivalent throughput: train + score each window once.
+    combined = 1.0 / (1.0 / train_wps + 1.0 / score_wps)
+    log(f"[bench] train: {train_wps:,.0f} w/s  score: {score_wps:,.0f} w/s  "
+        f"combined: {combined:,.0f} w/s  chips: {n_chips}")
+    return combined / n_chips
+
+
+def measure_cpu_baseline() -> float:
+    """Torch-CPU throughput of an equivalent model+step (reference runs on
+    stock torch kernels; this is the per-epoch CPU number BASELINE.md names)."""
+    if os.path.exists(CPU_BASELINE_FILE):
+        with open(CPU_BASELINE_FILE) as f:
+            v = json.load(f)["windows_per_sec"]
+            log(f"[bench] cached CPU baseline: {v:,.0f} w/s")
+            return v
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class Layer(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.A = torch.nn.Parameter(torch.randn(T, V, V) * 0.1)
+            self.Tm = torch.nn.Parameter(torch.randn(V, T, T) * 0.1)
+            self.conv = torch.nn.Conv2d(cin, cout, 1)
+            self.bn = torch.nn.BatchNorm2d(cout)
+            self.res = torch.nn.Conv2d(cin, cout, 1) if cin != cout else torch.nn.Identity()
+            self.act = torch.nn.PReLU()
+
+        def forward(self, x):
+            r = self.res(x)
+            x = torch.einsum("nctv,vtq->ncqv", x, self.Tm)
+            x = torch.einsum("nctv,tvw->nctw", x, self.A)
+            return self.act(self.bn(self.conv(x)) + r)
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [2, *CHANNELS, H_DIM]
+            self.layers = torch.nn.Sequential(
+                *[Layer(chans[i], chans[i + 1]) for i in range(len(chans) - 1)]
+            )
+            self.proj = torch.nn.Linear(H_DIM * T * V, LATENT)
+
+        def forward(self, x):
+            h = self.layers(x)
+            return self.proj(h.reshape(x.shape[0], -1))
+
+    net = Net()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+    c = torch.full((LATENT,), 0.1)
+    x = torch.randn(BATCH, 2, T, V)
+    # warmup
+    loss = torch.nn.functional.mse_loss(net(x), c.expand(BATCH, LATENT))
+    loss.backward(); opt.step(); opt.zero_grad()
+    steps = 3
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = torch.nn.functional.mse_loss(net(x), c.expand(BATCH, LATENT))
+        loss.backward(); opt.step(); opt.zero_grad()
+    dt = time.perf_counter() - t0
+    wps = BATCH * steps / dt
+    with open(CPU_BASELINE_FILE, "w") as f:
+        json.dump({"windows_per_sec": wps, "threads": torch.get_num_threads()}, f)
+    log(f"[bench] measured CPU baseline: {wps:,.0f} w/s "
+        f"({torch.get_num_threads()} threads)")
+    return wps
+
+
+def main():
+    value = measure_tpu()
+    try:
+        baseline = measure_cpu_baseline()
+    except Exception as e:  # torch missing or measurement failure
+        log(f"[bench] CPU baseline unavailable: {e}")
+        baseline = None
+    vs = round(value / baseline, 2) if baseline else None
+    print(json.dumps({
+        "metric": "pose_windows_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "windows/sec/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

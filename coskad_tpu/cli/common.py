@@ -1,0 +1,57 @@
+"""Shared CLI plumbing: config + dataset loading, ground-truth discovery."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config, from_reference_yaml
+from ..data.alphapose import load_alphapose_split
+from ..data.windows import SegmentDataset
+
+
+def load_config(path: str) -> Config:
+    return from_reference_yaml(path)
+
+
+def load_split(
+    cfg: Config, split: str, stride: Optional[int] = None, scaler=None
+) -> SegmentDataset:
+    d = cfg.data
+    pose_dir = d.pose_dirs.get(split)
+    if not pose_dir or not os.path.isdir(pose_dir):
+        raise FileNotFoundError(
+            f"pose directory for split {split!r} not found: {pose_dir!r}"
+        )
+    return load_alphapose_split(
+        pose_dir,
+        seg_len=d.seg_len,
+        seg_stride=stride if stride is not None else d.seg_stride,
+        start_offset=d.start_offset,
+        num_clips=d.num_clips,
+        kp_threshold=d.kp_threshold,
+        kp18_format=d.kp18_format,
+        headless=d.headless,
+        normalize_pose=d.normalize_pose,
+        normalization_strategy=d.normalization_strategy,
+        vid_res=d.vid_res,
+        symm_range=d.symm_range,
+        sub_mean=d.sub_mean,
+        scaler=scaler,
+        num_transform=d.num_transform,
+    )
+
+
+def load_ground_truths(gt_dir: str) -> Dict[Tuple[int, int], np.ndarray]:
+    """{(scene, clip): labels} from '<scene>_<clip>.npy' files (sorted), the
+    reference's gt listing (eval_COSKAD.py:127-129)."""
+    gts = {}
+    for fn in sorted(os.listdir(gt_dir)):
+        if not fn.endswith(".npy"):
+            continue
+        scene = int(fn.split("_")[0])
+        clip = int(fn.split("_")[1].split(".")[0])
+        gts[(scene, clip)] = np.load(os.path.join(gt_dir, fn))
+    return gts

@@ -1,0 +1,96 @@
+"""Offline evaluation entry point (eval_COSKAD.py equivalent).
+
+    python -m coskad_tpu.cli.eval --config <yaml> [--ckpt path]
+
+Loads the checkpoint, embeds the test split (stride 1), computes per-window
+anomaly scores in the variant's geometry, aggregates to frames (actor-max,
+HR masks, shift + Gaussian smoothing), prints per-clip, per-transform and
+final mean-over-transforms AUC.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="COSKAD-TPU evaluation")
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--ckpt", default=None,
+                        help="checkpoint path (default: <exp_dir>/best.ckpt)")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..score.aggregate import ScoringConfig, evaluate_windows
+    from ..score.masks import AVENUE_MASKED_CLIPS, hr_ubnormal
+    from ..train import checkpoint
+    from ..train.loop import Trainer
+    from .common import load_config, load_ground_truths, load_split
+
+    cfg = load_config(args.config)
+    ckpt_path = args.ckpt or os.path.join(cfg.ckpt_dir, "best.ckpt")
+    if not os.path.exists(ckpt_path):
+        alt = os.path.join(cfg.ckpt_dir, "last.ckpt")
+        if os.path.exists(alt):
+            ckpt_path = alt
+        else:
+            raise FileNotFoundError(f"no checkpoint at {ckpt_path}")
+
+    # Restore the scaler first so the test split is normalized consistently.
+    test_ds = None
+    scaler = None
+    if cfg.data.normalization_strategy == "robust":
+        import flax.serialization as ser
+
+        with open(ckpt_path, "rb") as f:
+            payload = ser.msgpack_restore(f.read())
+        if "scaler" in payload:
+            from ..data.normalize import RobustScalerState
+
+            scaler = RobustScalerState(
+                center=np.asarray(payload["scaler"]["center"]),
+                scale=np.asarray(payload["scaler"]["scale"]),
+            )
+    test_ds = load_split(cfg, "test", stride=1, scaler=scaler)
+    gts = load_ground_truths(cfg.data.gt_dir)
+    print(f"[coskad] test windows: {test_ds.num_windows}, clips: {len(gts)}")
+
+    trainer = Trainer(cfg, test_ds)  # reuses embed/score jit machinery
+    state = trainer.init_state()
+    state, _, extra = checkpoint.restore(ckpt_path, state)
+    print(f"[coskad] restored {ckpt_path} {extra}")
+
+    z = trainer.embed_all(state, test_ds, trainer.train_data)
+    scores = np.asarray(
+        trainer._score_fn(jnp.asarray(z), state.center, state.inv_cov,
+                          state.mean_vector)
+    )
+    k = max(cfg.data.num_transform, 1)
+    nw = test_ds.num_windows
+    trans = np.repeat(np.arange(k), nw)
+    meta = np.tile(test_ds.meta, (k, 1))
+    frames = np.tile(test_ds.frame_ids, (k, 1))
+
+    hr_masks = {}
+    if cfg.eval.use_hr and cfg.eval.hr_masks_glob:
+        hr_masks = hr_ubnormal(cfg.eval.hr_masks_glob)
+    avenue = AVENUE_MASKED_CLIPS if cfg.data.dataset_choice == "HR-Avenue" else {}
+
+    result = evaluate_windows(
+        scores, trans, meta, frames, gts,
+        ScoringConfig(num_transform=k, pad_size=cfg.eval.pad_size),
+        hr_clip_masks=hr_masks, avenue_clip_masks=avenue,
+    )
+    for (scene, clip), auc in sorted(result.per_clip_auc.items()):
+        print(f"clip {scene}_{clip}: auc={auc:.4f}")
+    for t, auc in enumerate(result.per_transform_auc):
+        print(f"transform {t + 1}/{k}: auc={auc:.4f}")
+    print(f"final AUC score: {result.auc:.6f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

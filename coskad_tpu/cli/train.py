@@ -1,0 +1,77 @@
+"""Training entry point.
+
+    python -m coskad_tpu.cli.train --config config/UBnormal/euclidean_encoder.yaml
+
+Accepts the reference's YAML configs unchanged (train_COSKAD.py equivalent):
+loads the train split (and the test split for validation when
+`validation: True`), initializes the latent center with an exact global
+mean/midpoint, fits the selected variant, and writes checkpoints + a config
+snapshot under exp_dir/dataset/dir_name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="COSKAD-TPU training")
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--epochs", type=int, default=None, help="override epoch count")
+    args = parser.parse_args(argv)
+
+    from ..train import checkpoint
+    from ..train.loop import Trainer
+    from ..utils.logging import MetricLogger
+    from .common import load_config, load_ground_truths, load_split
+
+    cfg = load_config(args.config)
+    print(f"[coskad] variant={cfg.model.variant} dataset={cfg.data.dataset_choice} "
+          f"devices={jax.device_count()}")
+
+    train_ds = load_split(cfg, "train")
+    print(f"[coskad] train windows: {train_ds.num_windows} "
+          f"(x{cfg.data.num_transform} transforms)")
+    val_ds, gts = None, {}
+    if cfg.opt.validation:
+        val_ds = load_split(cfg, "test", stride=1, scaler=train_ds.scaler)
+        gts = load_ground_truths(cfg.data.gt_dir)
+        print(f"[coskad] val windows: {val_ds.num_windows}, clips: {len(gts)}")
+
+    ckpt_dir = cfg.ckpt_dir
+    os.makedirs(ckpt_dir, exist_ok=True)
+    logger = MetricLogger(log_dir=ckpt_dir)
+    trainer = Trainer(cfg, train_ds, val_ds, gts, logger=logger)
+    state = trainer.init_state()
+    state = trainer.initialize_center(state)
+    print(f"[coskad] center initialized, |c| = "
+          f"{float(jax.numpy.linalg.norm(state.center)):.4f}")
+
+    epochs = args.epochs if args.epochs is not None else cfg.opt.epochs
+    best_auc = -1.0
+    for epoch in range(epochs):
+        state, history = trainer.fit(state=state, epochs=1)
+        auc = history["validation_auc"][-1] if history["validation_auc"] else None
+        if auc is not None and auc > best_auc:
+            best_auc = auc
+            checkpoint.save(
+                os.path.join(ckpt_dir, "best.ckpt"), state, cfg,
+                scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
+            )
+        checkpoint.save(
+            os.path.join(ckpt_dir, "last.ckpt"), state, cfg,
+            scaler=train_ds.scaler, extra={"epoch": epoch},
+        )
+        msg = f"[coskad] epoch {epoch + 1}/{epochs} loss={history['loss'][-1]:.6f}"
+        if auc is not None:
+            msg += f" validation_auc={auc:.4f} (best {best_auc:.4f})"
+        print(msg)
+    logger.close()
+    print(f"[coskad] done; checkpoints in {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

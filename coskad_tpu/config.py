@@ -1,0 +1,240 @@
+"""Typed configuration tree + loader for reference-format YAML configs.
+
+Replaces the reference's argparse-over-YAML flag soup (utils/argparser.py:
+5-186, prefixed `dataset_*`/`ae_*`/`opt_*` groups and the 4-boolean variant
+dispatch in train_COSKAD.py:36-55) with one dataclass tree. The loader
+accepts the reference's own YAML files unchanged so parity runs use
+identical hyperparameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+VARIANTS = (
+    "euclidean_static",
+    "euclidean_dynamic",
+    "autoencoder",
+    "vae",
+    "hyperbolic",
+)
+
+
+@dataclass
+class ModelConfig:
+    variant: str = "euclidean_static"
+    num_coords: int = 2
+    channels: Tuple[int, ...] = (32, 16, 32)
+    h_dim: int = 64
+    latent_dim: int = 16
+    dropout: float = 0.0
+    projector: str = "linear"  # 'linear' | 'mlp'
+    projector_hidden_layers: Optional[Tuple[int, ...]] = None
+    encoder_type: str = "sts_gcn"  # 'sts_gcn' | 'st_gcn' | 'learnable_gcn' | 'static_gcn'
+    distance: str = "euclidean"  # 'euclidean' | 'mahalanobis'
+    distribution: str = "ps"  # VAE: 'ps' | 'normal'
+    decoder_channels: Optional[Tuple[int, ...]] = None
+
+    @property
+    def use_decoder(self) -> bool:
+        return self.variant in ("autoencoder", "vae")
+
+    @property
+    def use_vae(self) -> bool:
+        return self.variant == "vae"
+
+    @property
+    def hyperbolic(self) -> bool:
+        return self.variant == "hyperbolic"
+
+
+@dataclass
+class DataConfig:
+    dataset_choice: str = "UBnormal"
+    # {'train': dir, 'test': dir} of AlphaPose JSONs (or Morais CSV root for
+    # the robust pipeline)
+    pose_dirs: Dict[str, str] = field(default_factory=dict)
+    gt_dir: str = ""
+    seg_len: int = 12
+    seg_stride: int = 8
+    start_offset: int = 0
+    num_transform: int = 5
+    normalization_strategy: str = "markovitz"
+    vid_res: Tuple[int, int] = (856, 480)
+    symm_range: bool = True
+    sub_mean: bool = True
+    kp18_format: bool = True
+    headless: bool = False
+    normalize_pose: bool = True
+    kp_threshold: float = 0.0
+    batch_size: int = 512
+    num_clips: Optional[int] = None  # debug limit (reference: 5 clips)
+    use_fitted_scaler: bool = False
+    n_joints_override: Optional[int] = None  # tests / nonstandard skeletons
+
+    @property
+    def n_joints(self) -> int:
+        if self.n_joints_override is not None:
+            return self.n_joints_override
+        if self.headless:
+            return 14
+        return 18 if self.kp18_format else 17
+
+
+@dataclass
+class OptConfig:
+    lr: float = 1e-4
+    epochs: int = 100
+    alpha: float = 1e-6  # weight-regularization weight
+    lambda_: float = 0.01  # autoencoder reconstruction weight
+    phi: float = 1.0  # VAE reconstruction weight
+    beta: float = 0.001  # VAE KL weight
+    gamma: float = 0.01  # VAE expected-distance weight
+    warmup_epochs: int = 10  # VAE warmup
+    center_tolerance: float = 0.001
+    validation: bool = False
+    # ReduceLROnPlateau settings used when validation is on
+    plateau_factor: float = 0.2
+    plateau_patience: int = 100
+    min_lr: float = 1e-6
+
+
+@dataclass
+class EvalConfig:
+    pad_size: int = -1
+    smoothing: int = 50  # kept for config parity; the shift+sigma=30 path ignores it
+    split: str = "test"
+    use_hr: bool = False
+    hr_masks_glob: str = ""
+    load_ckpt: str = ""
+
+
+@dataclass
+class RunConfig:
+    seed: int = 999
+    exp_dir: str = "./checkpoints"
+    dir_name: str = "default"
+    debug: bool = False
+    validate_every: int = 1
+    # Parallelism: data axis size -1 means "all available devices"
+    data_parallel: int = -1
+    model_parallel: int = 1
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    opt: OptConfig = field(default_factory=OptConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.run.exp_dir, self.data.dataset_choice, self.run.dir_name)
+
+
+def _variant_from_flags(raw: Dict[str, Any]) -> str:
+    """The reference's dispatch order: decoder > hyperbolic > vae > center
+    (train_COSKAD.py:36-55)."""
+    if raw.get("use_decoder"):
+        return "autoencoder"
+    if raw.get("hyperbolic"):
+        return "hyperbolic"
+    if raw.get("use_vae"):
+        return "vae"
+    return "euclidean_static" if raw.get("static_center", True) else "euclidean_dynamic"
+
+
+def from_reference_yaml(path: str) -> Config:
+    """Load a reference-format YAML (config/*/*.yaml) into a Config tree."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return from_reference_dict(raw)
+
+
+def from_reference_dict(raw: Dict[str, Any]) -> Config:
+    def get(key, default):
+        v = raw.get(key, default)
+        return default if v is None else v
+
+    model = ModelConfig(
+        variant=_variant_from_flags(raw),
+        num_coords=get("num_coords", 2),
+        channels=tuple(get("channels", [32, 16, 32])),
+        h_dim=get("h_dim", 64),
+        latent_dim=get("latent_dim", 16),
+        dropout=get("dropout", 0.0),
+        projector=str(get("projector", "linear")).lower(),
+        encoder_type=str(get("encoder_type", "sts_gcn")).lower(),
+        distance=str(get("distance", "euclidean")).lower(),
+        distribution=str(get("distribution", "ps")).lower(),
+        decoder_channels=(
+            tuple(raw["decoder_channels"]) if raw.get("decoder_channels") else None
+        ),
+    )
+    # 'poincare' appears as a distance string in hyperbolic configs; the
+    # variant flag is authoritative there.
+    if model.distance not in ("euclidean", "mahalanobis"):
+        model = dataclasses.replace(model, distance="euclidean")
+
+    data_dir = get("data_dir", "")
+    pose_dirs = {}
+    if data_dir:
+        # Reference path layout (utils/argparser.py:16-34)
+        pose_dirs = {
+            "train": os.path.join(data_dir, "pose", "training"),
+            "test": os.path.join(data_dir, "pose", "testing"),
+        }
+    data = DataConfig(
+        dataset_choice=get("dataset_choice", "UBnormal"),
+        pose_dirs=pose_dirs,
+        gt_dir=get("gt_path", get("test_path", "")),
+        seg_len=get("dataset_seg_len", 12),
+        seg_stride=get("dataset_seg_stride", 8),
+        start_offset=get("dataset_start_offset", 0),
+        num_transform=get("dataset_num_transform", 5),
+        normalization_strategy=get("dataset_normalization_strategy", "markovitz"),
+        vid_res=tuple(get("dataset_vid_res", [856, 480])),
+        symm_range=get("dataset_symm_range", True),
+        sub_mean=get("dataset_sub_mean", True),
+        kp18_format=get("dataset_kp18_format", True),
+        headless=get("dataset_headless", False),
+        normalize_pose=get("dataset_normalize_pose", True),
+        kp_threshold=get("dataset_kp_th", 0.0),
+        batch_size=get("dataset_batch_size", 512),
+        num_clips=5 if get("debug", False) else None,
+        use_fitted_scaler=get("dataset_use_fitted_scaler", False),
+    )
+    opt = OptConfig(
+        lr=get("opt_lr", 1e-4),
+        epochs=get("ae_epochs", 100),
+        alpha=get("alpha", 1e-6),
+        lambda_=get("lambda_", 0.01),
+        phi=get("phi", 1.0),
+        beta=get("beta", 0.001),
+        gamma=get("gamma", 0.01),
+        warmup_epochs=get("warmup_epochs", 10),
+        center_tolerance=get("center_tolerance", 0.001),
+        validation=get("validation", False),
+    )
+    ev = EvalConfig(
+        pad_size=get("pad_size", -1),
+        smoothing=get("smoothing", 50),
+        split=get("split", "train"),
+        use_hr=get("use_hr", False),
+        load_ckpt=get("load_ckpt", ""),
+    )
+    run = RunConfig(
+        seed=get("seed", 999),
+        exp_dir=get("exp_dir", "./checkpoints"),
+        dir_name=get("dir_name", "default"),
+        debug=get("debug", False),
+    )
+    return Config(model=model, data=data, opt=opt, eval=ev, run=run)

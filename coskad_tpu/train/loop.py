@@ -1,0 +1,411 @@
+"""The training loop: one jitted step for all five COSKAD variants.
+
+Replaces the reference's five Lightning modules + pl.Trainer with a single
+functional loop (SURVEY.md section 7.1): the whole step — device-side batch
+gather + affine augmentation, forward, loss, grads, Adam update, center/cov
+accumulator updates — is one compiled XLA program over a (data, model) mesh.
+Batches are index vectors; pose windows stay HBM-resident.
+
+Semantic ordering per epoch mirrors Lightning 1.6's hook order (see
+objectives.py docstring and SURVEY.md section 3.5):
+  1. train epoch (uses state.center as-is),
+  2. [VAE] mean_vector <- epoch latent mean (on_validation_start,
+     spherical_vae.py:110-122),
+  3. optional validation AUC with the *current* center,
+  4. dynamic-center variants: center <- accumulated mean / Einstein midpoint
+     with eps-clamp; mahalanobis: inv_cov <- inverse of accumulated
+     covariance; reset accumulators.
+
+The center initialization is an eval-mode full pass (BN running stats, like
+the reference's `model.eval()` in setup — euclidean_encoder_staticCenter.py:
+101-130) with globally-exact sums across data shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.transforms import canonical_transforms, gather_batch
+from ..data.windows import SegmentDataset
+from ..geometry import poincare as hyp
+from ..models import build_model
+from ..parallel import mesh as pmesh
+from ..score.aggregate import EvalResult, ScoringConfig, evaluate_windows
+from ..score.masks import AVENUE_MASKED_CLIPS
+from ..utils.logging import MetricLogger
+from . import objectives
+from .state import TrainState, clamp_center, init_state
+
+
+def model_kwargs_from_config(cfg: Config) -> dict:
+    return dict(
+        use_decoder=cfg.model.use_decoder,
+        use_vae=cfg.model.use_vae,
+        input_dim=cfg.model.num_coords,
+        layer_channels=tuple(cfg.model.channels),
+        hidden_dimension=cfg.model.h_dim,
+        latent_dim=cfg.model.latent_dim,
+        n_frames=cfg.data.seg_len,
+        n_joints=cfg.data.n_joints,
+        projector=cfg.model.projector,
+        projector_hidden_layers=cfg.model.projector_hidden_layers,
+        dropout=cfg.model.dropout,
+        distribution=cfg.model.distribution,
+        decoder_channels=cfg.model.decoder_channels,
+    )
+
+
+class Trainer:
+    """Orchestrates fit/validate/predict for one config.
+
+    Args:
+        cfg: full configuration.
+        train_ds: training SegmentDataset (windows resident once on device).
+        val_ds: optional test-split SegmentDataset for validation AUC.
+        ground_truths: {(scene, clip): labels} for validation scoring.
+        mesh: optional jax.sharding.Mesh; defaults to all devices on 'data'.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        train_ds: SegmentDataset,
+        val_ds: Optional[SegmentDataset] = None,
+        ground_truths: Optional[dict] = None,
+        mesh=None,
+        logger: Optional[MetricLogger] = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else pmesh.create_mesh(
+            cfg.run.data_parallel, cfg.run.model_parallel
+        )
+        self.model = build_model(**model_kwargs_from_config(cfg))
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.ground_truths = ground_truths or {}
+        self.logger = logger or MetricLogger()
+        self.trans_table = jnp.asarray(
+            canonical_transforms(max(cfg.data.num_transform, 1))
+        )
+        self.batch_size = cfg.data.batch_size
+        self._lr = cfg.opt.lr
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr)
+
+        # HBM-resident training windows, replicated over the mesh (read-only).
+        self.train_data = pmesh.device_put_replicated(
+            jnp.asarray(train_ds.data), self.mesh
+        )
+        self.val_data = (
+            pmesh.device_put_replicated(jnp.asarray(val_ds.data), self.mesh)
+            if val_ds is not None
+            else None
+        )
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        # Multi-step variants: one dispatch per epoch via lax.scan. Remote
+        # TPU dispatch costs 10s of ms per call; scanning K steps inside one
+        # jitted program amortizes it and lets XLA pipeline the whole epoch.
+        self._train_epoch = jax.jit(self._train_epoch_impl, donate_argnums=0)
+        self._embed_step = jax.jit(self._embed_step_impl)
+        self._embed_many = jax.jit(self._embed_many_impl)
+        self._score_fn = jax.jit(self._score_impl)
+        # Persistent shuffle stream: repeated fit(state, epochs=1) calls (the
+        # CLI's per-epoch checkpoint loop) must not replay the same
+        # permutation.
+        self._shuffle_rng = np.random.default_rng(cfg.run.seed)
+        self._epochs_done = 0
+
+    # ------------------------------------------------------------ setup
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.cfg.run.seed if seed is None else seed
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng, sample_rng = jax.random.split(rng, 3)
+        dummy = jnp.zeros(
+            (2, self.cfg.model.num_coords, self.cfg.data.seg_len, self.cfg.data.n_joints),
+            jnp.float32,
+        )
+        rngs = {"params": init_rng}
+        if self.cfg.model.use_vae:
+            rngs["sample"] = sample_rng
+        variables = self.model.init(rngs, dummy)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = init_state(
+            params, batch_stats, opt_state, self.cfg.model.latent_dim, rng
+        )
+        # Lay out: params/state replicated (model-parallel layouts are applied
+        # to the wide projector kernels inside shard_params).
+        params = pmesh.device_put_params(state.params, self.mesh)
+        rest = pmesh.device_put_replicated(
+            state.replace(params=None), self.mesh
+        )
+        return rest.replace(params=params)
+
+    # ------------------------------------------------------------ jit bodies
+
+    def _forward(self, params, batch_stats, batch, train: bool, rng=None):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = {"train": train}
+        rngs = {}
+        if self.cfg.model.use_vae:
+            rngs["sample"] = rng if rng is not None else jax.random.PRNGKey(0)
+        if train:
+            out, mutated = self.model.apply(
+                variables, batch, mutable=["batch_stats"], rngs=rngs, **kwargs
+            )
+            return out, mutated["batch_stats"]
+        out = self.model.apply(variables, batch, rngs=rngs, **kwargs)
+        return out, batch_stats
+
+    def _gather(self, data, indices):
+        return gather_batch(
+            data, indices, self.trans_table, self.cfg.model.num_coords
+        )
+
+    def _train_step_impl(
+        self, state: TrainState, data: jax.Array, indices: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, step_rng = jax.random.split(state.rng)
+        batch = self._gather(data, indices)
+
+        def loss_fn(params):
+            out, new_bs = self._forward(
+                params, state.batch_stats, batch, train=True, rng=step_rng
+            )
+            loss, metrics = objectives.compute_loss(
+                self.cfg, out, batch, params, state.center, state.inv_cov
+            )
+            z = objectives.latent_of(self.cfg.model.variant, out)
+            return loss, (metrics, new_bs, z)
+
+        (loss, (metrics, new_bs, z)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = objectives.accumulate_stats(
+            (state.acc_vec, state.acc_weight, state.acc_outer),
+            self.cfg.model.variant,
+            self.cfg.model.distance,
+            z,
+            state.center,
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            rng=rng,
+            acc_vec=acc[0],
+            acc_weight=acc[1],
+            acc_outer=acc[2],
+        )
+        return new_state, metrics
+
+    def _train_epoch_impl(
+        self, state: TrainState, data: jax.Array, indices: jax.Array
+    ):
+        """Scan K train steps in one compiled program. indices: [K, B]."""
+
+        def body(carry, idx):
+            new_carry, metrics = self._train_step_impl(carry, data, idx)
+            return new_carry, metrics
+
+        return jax.lax.scan(body, state, indices)
+
+    def _embed_step_impl(
+        self, params, batch_stats, data, indices, rng
+    ) -> jax.Array:
+        """Eval-mode latents for a batch of logical indices."""
+        batch = self._gather(data, indices)
+        out, _ = self._forward(params, batch_stats, batch, train=False, rng=rng)
+        return objectives.latent_of(self.cfg.model.variant, out)
+
+    def _embed_many_impl(self, params, batch_stats, data, indices, rng):
+        """Scan embedding over [K, B] index chunks -> [K, B, D]."""
+
+        def body(i, idx):
+            z = self._embed_step_impl(
+                params, batch_stats, data, idx, jax.random.fold_in(rng, i)
+            )
+            return i + 1, z
+
+        _, zs = jax.lax.scan(body, 0, indices)
+        return zs
+
+    def _score_impl(self, z, center, inv_cov, mean_vector) -> jax.Array:
+        return objectives.window_scores(self.cfg, z, center, inv_cov, mean_vector)
+
+    # ------------------------------------------------------------ embedding
+
+    def embed_all(self, state: TrainState, ds: SegmentDataset, data) -> np.ndarray:
+        """Latents for every (window x transform) item: pad to a whole number
+        of batches and run ONE scanned device call."""
+        n = len(ds)
+        bs = self.batch_size
+        k = (n + bs - 1) // bs
+        idx = np.arange(k * bs) % n  # wrap-pad the tail
+        idx = idx.reshape(k, bs)
+        idx_dev = jax.device_put(
+            jnp.asarray(idx),
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
+            ),
+        )
+        rng = jax.random.fold_in(state.rng, 7)
+        zs = self._embed_many(state.params, state.batch_stats, data, idx_dev, rng)
+        return np.asarray(zs).reshape(k * bs, -1)[:n]
+
+    # ------------------------------------------------------------ center init
+
+    def initialize_center(self, state: TrainState) -> TrainState:
+        """Full eval-mode pass over the train set; exact global center.
+
+        Euclidean/VAE: c = clamp(mean(z)); hyperbolic: c = Einstein midpoint
+        of exp-mapped latents (hyperbolic_encoder.py:108-133). Mahalanobis
+        additionally needs the latent covariance around c.
+        """
+        z = self.embed_all(state, self.train_ds, self.train_data)
+        if self.cfg.model.variant == "hyperbolic":
+            z_h = np.asarray(hyp.project(hyp.expmap0(jnp.asarray(z))))
+            ws, w = hyp.streaming_midpoint_stats(jnp.asarray(z_h))
+            c = hyp.midpoint_from_stats(ws, w)
+            c = jnp.asarray(c)
+            assert bool(jnp.all(jnp.abs(c) < 1.0)), "center out of the ball"
+        else:
+            c = jnp.asarray(z.mean(axis=0, dtype=np.float64), jnp.float32)
+            c = clamp_center(c, self.cfg.opt.center_tolerance)
+        state = state.replace(center=c)
+        if self.cfg.model.distance == "mahalanobis":
+            d = z - np.asarray(c)
+            cov = (d.T @ d) / (len(z) - 1)
+            state = state.replace(
+                inv_cov=jnp.asarray(np.linalg.inv(cov), jnp.float32)
+            )
+        return state
+
+    # ------------------------------------------------------------ epoch end
+
+    def apply_epoch_updates(self, state: TrainState) -> TrainState:
+        variant = self.cfg.model.variant
+        if variant in ("euclidean_dynamic",):
+            c = clamp_center(
+                state.acc_vec / state.acc_weight, self.cfg.opt.center_tolerance
+            )
+            state = state.replace(center=c)
+        elif variant == "hyperbolic":
+            # static_center isn't used by the reference hyperbolic configs;
+            # the midpoint recompute is the default behaviour.
+            c = hyp.midpoint_from_stats(state.acc_vec, state.acc_weight)
+            state = state.replace(center=c)
+        if self.cfg.model.distance == "mahalanobis":
+            cov = state.acc_outer / (state.acc_weight - 1.0)
+            state = state.replace(inv_cov=jnp.linalg.inv(cov))
+        return state.reset_accumulators()
+
+    def update_mean_vector(self, state: TrainState) -> TrainState:
+        if self.cfg.model.variant != "vae":
+            return state
+        return state.replace(mean_vector=state.acc_vec / state.acc_weight)
+
+    # ------------------------------------------------------------ validation
+
+    def validate(self, state: TrainState) -> Optional[EvalResult]:
+        if self.val_ds is None or not self.ground_truths:
+            return None
+        z = self.embed_all(state, self.val_ds, self.val_data)
+        scores = np.asarray(
+            self._score_fn(
+                jnp.asarray(z), state.center, state.inv_cov, state.mean_vector
+            )
+        )
+        k = max(self.cfg.data.num_transform, 1)
+        nw = self.val_ds.num_windows
+        trans = np.repeat(np.arange(k), nw)
+        meta = np.tile(self.val_ds.meta, (k, 1))
+        frames = np.tile(self.val_ds.frame_ids, (k, 1))
+        avenue_masks = (
+            AVENUE_MASKED_CLIPS if self.cfg.data.dataset_choice == "HR-Avenue" else {}
+        )
+        return evaluate_windows(
+            scores,
+            trans,
+            meta,
+            frames,
+            self.ground_truths,
+            ScoringConfig(num_transform=k, pad_size=self.cfg.eval.pad_size),
+            avenue_clip_masks=avenue_masks,
+        )
+
+    # ------------------------------------------------------------ fit
+
+    def fit(
+        self, state: Optional[TrainState] = None, epochs: Optional[int] = None
+    ) -> Tuple[TrainState, Dict]:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.opt.epochs
+        if state is None:
+            state = self.init_state()
+            state = self.initialize_center(state)
+        n = len(self.train_ds)
+        bs = self.batch_size
+        steps_per_epoch = max(n // bs, 1)
+        history = {"validation_auc": [], "loss": []}
+        best_auc, since_best = -np.inf, 0
+
+        for local_epoch in range(epochs):
+            epoch = self._epochs_done + local_epoch
+            perm = self._shuffle_rng.permutation(n)
+            idx = perm[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+            idx_dev = jax.device_put(
+                jnp.asarray(idx),
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
+                ),
+            )
+            # One dispatch for the whole epoch (lax.scan over steps).
+            state, metrics = self._train_epoch(state, self.train_data, idx_dev)
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}  # [K]
+            for step in range(steps_per_epoch):
+                global_step = epoch * steps_per_epoch + step + 1
+                if global_step % self.logger.every_n_steps == 0:
+                    self.logger.log(
+                        {k: float(v[step]) for k, v in metrics.items()}, global_step
+                    )
+            history["loss"].append(float(metrics["loss"].mean()))
+
+            state = self.update_mean_vector(state)
+            result = None
+            if cfg.opt.validation and (epoch + 1) % cfg.run.validate_every == 0:
+                result = self.validate(state)
+            if result is not None:
+                auc = result.auc
+                history["validation_auc"].append(auc)
+                self.logger.log(
+                    {"validation_auc": auc, "epoch": epoch}, int(state.step), force=True
+                )
+                # ReduceLROnPlateau(mode='max') analogue
+                if auc > best_auc:
+                    best_auc, since_best = auc, 0
+                else:
+                    since_best += 1
+                    if since_best > cfg.opt.plateau_patience:
+                        self._lr = max(
+                            self._lr * cfg.opt.plateau_factor, cfg.opt.min_lr
+                        )
+                        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                            self._lr
+                        )
+                        since_best = 0
+            state = self.apply_epoch_updates(state)
+        self._epochs_done += epochs
+        return state, history

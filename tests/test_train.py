@@ -1,0 +1,150 @@
+"""Training loop: all five variants fit on synthetic data, centers behave,
+validation produces a meaningful AUC, and sharding is exact."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coskad_tpu.parallel import create_mesh
+from coskad_tpu.train.loop import Trainer
+
+from helpers import synthetic_segments, tiny_config
+
+
+def _make_trainer(variant, with_val=False, mesh=None, **cfg_over):
+    cfg = tiny_config(variant=variant, **cfg_over)
+    train_ds, _ = synthetic_segments(seed=0, stride=2)
+    val_ds, gt = None, None
+    gts = {}
+    if with_val:
+        # Clip must be much longer than the sigma=30 Gaussian smoothing
+        # radius (120 frames) or scores flatten into ties.
+        val_ds, gt = synthetic_segments(
+            seed=1, stride=1, n_frames=600, anomalous_ranges=[(250, 350)]
+        )
+        gts = {(1, 1): gt}
+        cfg = dataclasses.replace(cfg, opt=dataclasses.replace(cfg.opt, validation=True))
+    return Trainer(cfg, train_ds, val_ds, gts, mesh=mesh), cfg
+
+
+VARIANTS = ["euclidean_static", "euclidean_dynamic", "autoencoder", "vae", "hyperbolic"]
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_fit_two_epochs(variant):
+    trainer, _ = _make_trainer(variant, epochs=2)
+    state, history = trainer.fit()
+    assert len(history["loss"]) == 2
+    assert np.isfinite(history["loss"]).all()
+    assert np.isfinite(np.asarray(state.center)).all()
+    if variant == "hyperbolic":
+        assert np.linalg.norm(np.asarray(state.center)) < 1.0
+
+
+def test_center_contraction_reduces_loss():
+    trainer, _ = _make_trainer("euclidean_static", epochs=5)
+    _, history = trainer.fit()
+    assert history["loss"][-1] < history["loss"][0]
+
+
+def test_center_init_clamps_small_coords():
+    trainer, cfg = _make_trainer("euclidean_static")
+    state = trainer.init_state()
+    state = trainer.initialize_center(state)
+    c = np.asarray(state.center)
+    eps = cfg.opt.center_tolerance
+    nonzero = c != 0.0
+    assert np.all(np.abs(c[nonzero]) >= eps - 1e-9)
+
+
+def test_dynamic_center_updates_per_epoch():
+    trainer, _ = _make_trainer("euclidean_dynamic", epochs=1)
+    state = trainer.init_state()
+    state = trainer.initialize_center(state)
+    c0 = np.asarray(state.center).copy()
+    state, _ = trainer.fit(state=state, epochs=1)
+    c1 = np.asarray(state.center)
+    assert not np.allclose(c0, c1)
+
+
+def test_validation_auc_after_training():
+    trainer, _ = _make_trainer("euclidean_static", with_val=True, epochs=3)
+    state, history = trainer.fit()
+    assert len(history["validation_auc"]) == 3
+    # Planted anomalies are gross outliers; even a briefly-trained model
+    # must rank them far above chance.
+    assert history["validation_auc"][-1] > 0.8
+
+
+def test_mahalanobis_path():
+    trainer, _ = _make_trainer(
+        "euclidean_static", epochs=2, distance="mahalanobis"
+    )
+    state, history = trainer.fit()
+    assert np.isfinite(history["loss"]).all()
+    assert np.isfinite(np.asarray(state.inv_cov)).all()
+    assert not np.allclose(np.asarray(state.inv_cov), np.eye(4))
+
+
+def test_vae_mean_vector_updates():
+    trainer, _ = _make_trainer("vae", epochs=1)
+    state, _ = trainer.fit()
+    mv = np.asarray(state.mean_vector)
+    assert np.isfinite(mv).all() and np.abs(mv).max() > 0
+
+
+# ------------------------------------------------------------ sharding
+
+
+def test_sharded_center_matches_single_device():
+    """Center init on an 8-device data mesh == single device (exact global
+    pmean, SURVEY.md section 2.8/section 4)."""
+    mesh8 = create_mesh(data_parallel=8)
+    mesh1 = create_mesh(data_parallel=1, devices=jax.devices()[:1])
+    t8, _ = _make_trainer("euclidean_static", mesh=mesh8)
+    t1, _ = _make_trainer("euclidean_static", mesh=mesh1)
+    s8 = t8.initialize_center(t8.init_state())
+    s1 = t1.initialize_center(t1.init_state())
+    np.testing.assert_allclose(
+        np.asarray(s8.center), np.asarray(s1.center), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_train_step_matches_single_device():
+    """One jitted step on an 8-device data mesh vs 1 device: same global
+    semantics (loss, grads, BN batch stats all reduce over the global batch).
+    Only fp32 reduce-order noise may differ; Adam roughly sign-normalizes
+    gradients so params can drift by O(lr) where a near-zero grad flips sign
+    — hence the absolute tolerance of 2*lr on params and a tight one on the
+    loss."""
+    import jax.numpy as jnp
+
+    from coskad_tpu.parallel import batch_sharding
+
+    mesh8 = create_mesh(data_parallel=8)
+    mesh1 = create_mesh(data_parallel=1, devices=jax.devices()[:1])
+    outs = {}
+    for name, mesh in [("m8", mesh8), ("m1", mesh1)]:
+        trainer, _ = _make_trainer("euclidean_static", mesh=mesh, epochs=1)
+        state = trainer.init_state()
+        state = trainer.initialize_center(state)
+        idx = jax.device_put(jnp.arange(32), batch_sharding(mesh))
+        state, metrics = trainer._train_step(state, trainer.train_data, idx)
+        outs[name] = (
+            jax.tree_util.tree_map(np.asarray, jax.device_get(state.params)),
+            float(metrics["loss"]),
+            np.asarray(state.acc_vec),
+        )
+    # the center init itself carries ~1e-5 reduce-order noise which the
+    # squared distance amplifies
+    np.testing.assert_allclose(outs["m8"][1], outs["m1"][1], rtol=1e-3)
+    # acc_vec must be the *global* latent sum: a per-shard bug would be off
+    # by ~8x; cross-program fp noise through BatchNorm stays under 0.5%.
+    np.testing.assert_allclose(outs["m8"][2], outs["m1"][2], rtol=5e-3, atol=1e-4)
+    flat8 = jax.tree_util.tree_leaves(outs["m8"][0])
+    flat1 = jax.tree_util.tree_leaves(outs["m1"][0])
+    for a, b in zip(flat8, flat1):
+        np.testing.assert_allclose(a, b, atol=2.1e-3)
