@@ -20,6 +20,23 @@ def load_split(
     cfg: Config, split: str, stride: Optional[int] = None, scaler=None
 ) -> SegmentDataset:
     d = cfg.data
+    if d.normalization_strategy == "robust" and d.path_to_robust:
+        from ..data.robust import load_robust_split
+
+        return load_robust_split(
+            d.path_to_robust,
+            split=split,
+            seg_len=d.seg_len,
+            seg_stride=stride if stride is not None else d.seg_stride,
+            vid_res=d.vid_res,
+            normalization_strategy="robust",
+            exp_dir=cfg.ckpt_dir,
+            normalize_pose=d.normalize_pose,
+            kp18_format=d.kp18_format,
+            headless=d.headless,
+            num_transform=d.num_transform,
+            num_clips_debug=d.num_clips,
+        )
     pose_dir = d.pose_dirs.get(split)
     if not pose_dir or not os.path.isdir(pose_dir):
         raise FileNotFoundError(

@@ -21,6 +21,10 @@ def main(argv=None):
                         help="checkpoint path (default: <exp_dir>/best.ckpt)")
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -23,6 +23,10 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None, help="override epoch count")
     args = parser.parse_args(argv)
 
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from ..train import checkpoint
     from ..train.loop import Trainer
     from ..utils.logging import MetricLogger

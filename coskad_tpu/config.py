@@ -57,6 +57,7 @@ class DataConfig:
     # {'train': dir, 'test': dir} of AlphaPose JSONs (or Morais CSV root for
     # the robust pipeline)
     pose_dirs: Dict[str, str] = field(default_factory=dict)
+    path_to_robust: str = ""  # Morais CSV root (normalization_strategy='robust')
     gt_dir: str = ""
     seg_len: int = 12
     seg_stride: int = 8
@@ -195,6 +196,7 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
     data = DataConfig(
         dataset_choice=get("dataset_choice", "UBnormal"),
         pose_dirs=pose_dirs,
+        path_to_robust=get("dataset_path_to_robust", ""),
         gt_dir=get("gt_path", get("test_path", "")),
         seg_len=get("dataset_seg_len", 12),
         seg_stride=get("dataset_seg_stride", 8),

@@ -56,16 +56,21 @@ class STSE(nn.Module):
     latent_dim: int = 16
     n_frames: int = 12
     n_joints: int = 17
+    encoder_type: str = "sts_gcn"  # see encoders.make_encoder registry
     projector: str = "linear"  # 'linear' | 'mlp'
     projector_hidden_layers: Optional[Sequence[int]] = None
     dropout: float = 0.0
     use_bias: bool = True
 
     def setup(self):
-        self.encoder = STSGCNStack(
-            channel_schedule=list(self.layer_channels) + [self.hidden_dimension],
-            time_dim=self.n_frames,
-            joints_dim=self.n_joints,
+        from .encoders import make_encoder
+
+        self.encoder = make_encoder(
+            self.encoder_type,
+            layer_channels=self.layer_channels,
+            hidden_dimension=self.hidden_dimension,
+            n_frames=self.n_frames,
+            n_joints=self.n_joints,
             dropout=self.dropout,
             use_bias=self.use_bias,
             name="encoder",
@@ -114,6 +119,11 @@ class STSAE(STSE):
 
     def setup(self):
         super().setup()
+        if self.encoder_type.lower() != "sts_gcn":
+            # Reference: decoder only defined for sts_gcn (models/sts/ae.py:261-265)
+            raise ValueError(
+                f"No decoder available for encoder type {self.encoder_type!r}"
+            )
         flat = self.hidden_dimension * self.n_frames * self.n_joints
         self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk")
         dec_channels = list(self.decoder_channels or self.layer_channels[::-1])
@@ -159,6 +169,10 @@ class STSVAE(STSAE):
         # Identity for 'linear' and an MLP for 'mlp'
         # (models/sts/vae.py:135-169).
         STSE.setup(self)  # builds encoder + btlnk (overridden below)
+        if self.encoder_type.lower() != "sts_gcn":
+            raise ValueError(
+                f"No decoder available for encoder type {self.encoder_type!r}"
+            )
         flat = self.hidden_dimension * self.n_frames * self.n_joints
         proj = self.projector.lower()
         if proj == "mlp":

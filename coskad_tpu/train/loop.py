@@ -54,6 +54,7 @@ def model_kwargs_from_config(cfg: Config) -> dict:
         latent_dim=cfg.model.latent_dim,
         n_frames=cfg.data.seg_len,
         n_joints=cfg.data.n_joints,
+        encoder_type=cfg.model.encoder_type,
         projector=cfg.model.projector,
         projector_hidden_layers=cfg.model.projector_hidden_layers,
         dropout=cfg.model.dropout,

@@ -1,0 +1,164 @@
+"""Morais robust pipeline: parity with the reference's utils/data.py,
+utils/preprocessing.py, utils/get_robust_data.py on synthetic CSV data."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from coskad_tpu.data import trajectories as tj
+from coskad_tpu.data.robust import load_robust_split, robust_windows
+
+REFERENCE = "/root/reference"
+
+
+def _reference_data_mod():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    if not hasattr(np, "int"):
+        np.int = int
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import utils.data as ref_data
+    import utils.preprocessing as ref_prep
+
+    return ref_data, ref_prep
+
+
+def _write_csv_tree(root, split="training", n_clips=2, n_persons=2,
+                    n_frames=60, v=17, seed=0):
+    rng = np.random.default_rng(seed)
+    base = os.path.join(root, split, "trajectories")
+    for c in range(1, n_clips + 1):
+        folder = os.path.join(base, f"1-{c}")
+        os.makedirs(folder, exist_ok=True)
+        for p in range(1, n_persons + 1):
+            frames = np.arange(1, n_frames + 1)
+            coords = rng.uniform(50, 600, size=(n_frames, v * 2))
+            coords[rng.random(coords.shape) < 0.03] = 0.0  # missing joints
+            arr = np.concatenate([frames[:, None], coords], axis=1)
+            np.savetxt(os.path.join(folder, f"{p:04d}.csv"), arr, delimiter=",",
+                       fmt="%.6f")
+    return base
+
+
+def test_bounding_box_matches_reference(rng):
+    ref_data, _ = _reference_data_mod()
+    res = np.array([856.0, 480.0], np.float32)
+    for seed in range(5):
+        kps = np.random.default_rng(seed).uniform(0, 900, size=34).astype(np.float32)
+        kps[seed] = 0.0
+        assert tj.compute_bounding_box(kps, res) == ref_data.compute_bounding_box(kps, res)
+
+
+def test_bbox_centre_coordinates_match_reference(tmp_path, rng):
+    ref_data, _ = _reference_data_mod()
+    res = np.array([856.0, 480.0], np.float32)
+    coords = rng.uniform(10, 800, size=(20, 34)).astype(np.float32)
+    coords[rng.random(coords.shape) < 0.05] = 0.0
+    ref_tr = ref_data.Trajectory("1-1_0001", np.arange(20), coords.copy())
+    ref_tr.change_coordinate_system(res, coordinate_system="bounding_box_centre")
+    ours = tj.Trajectory("1-1_0001", np.arange(20), coords.copy())
+    ours.to_bounding_box_centre(res)
+    np.testing.assert_allclose(ours.coordinates, ref_tr.coordinates, rtol=1e-5, atol=1e-6)
+
+
+def test_global_features_match_reference(rng):
+    ref_data, _ = _reference_data_mod()
+    res = np.array([856.0, 480.0], np.float32)
+    coords = rng.uniform(10, 800, size=(15, 34)).astype(np.float32)
+    ref_tr = ref_data.Trajectory("1-1_0001", np.arange(15), coords.copy())
+    ref_tr.use_global_features(res)
+    ours = tj.Trajectory("1-1_0001", np.arange(15), coords.copy())
+    np.testing.assert_allclose(ours.global_features(res), ref_tr.coordinates,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_missing_step_interpolation_matches_reference(rng):
+    ref_data, _ = _reference_data_mod()
+    coords = rng.uniform(10, 100, size=(12, 6)).astype(np.float32)
+    coords[4:7] = 0.0  # fully missing block
+    coords[9] = 0.0
+    ref_tr = ref_data.Trajectory("1-1_0001", np.arange(12), coords.copy())
+    ref_tr.input_missing_steps()
+    ours = tj.Trajectory("1-1_0001", np.arange(12), coords.copy())
+    ours.input_missing_steps()
+    np.testing.assert_allclose(ours.coordinates, ref_tr.coordinates, rtol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["zero_one", "three_stds", "robust"])
+def test_scalers_match_reference(strategy, rng):
+    ref_data, _ = _reference_data_mod()
+    x = rng.uniform(-1, 1, size=(300, 8))
+    x[rng.random(x.shape) < 0.1] = 0.0
+    ref_out, ref_scaler = ref_data.scale_trajectories(x.copy(), strategy=strategy)
+    ours_out, ours_scaler = tj.scale_trajectories(x.copy(), strategy=strategy)
+    np.testing.assert_allclose(ours_out, ref_out, rtol=1e-6, atol=1e-9)
+    # reuse path (test split)
+    x2 = rng.uniform(-1, 1, size=(50, 8))
+    ref_out2, _ = ref_data.scale_trajectories(x2.copy(), scaler=ref_scaler,
+                                              strategy=strategy)
+    ours_out2, _ = tj.scale_trajectories(x2.copy(), scaler=ours_scaler,
+                                         strategy=strategy)
+    np.testing.assert_allclose(ours_out2, ref_out2, rtol=1e-6, atol=1e-9)
+
+
+def test_window_aggregation_matches_reference(rng):
+    ref_data, ref_prep = _reference_data_mod()
+    coords = rng.uniform(size=(40, 34)).astype(np.float32)
+    frames = np.arange(3, 43)
+    for gap in (0, 1):
+        ref_tr = {"1-2_0007": ref_data.Trajectory("1-2_0007", frames, coords.copy())}
+        ref_x, _, (ref_meta, ref_ids), _ = ref_prep.aggregate_rnn_autoencoder_data(
+            ref_tr, input_length=12, input_gap=gap, pred_length=0, return_ids=True
+        )
+        ours_tr = {"1-2_0007": tj.Trajectory("1-2_0007", frames, coords.copy())}
+        ours_x, ours_meta, ours_ids = tj.aggregate_windows(ours_tr, 12, gap)
+        np.testing.assert_allclose(ours_x, ref_x)
+        assert ours_meta == ref_meta
+        np.testing.assert_allclose(np.asarray(ours_ids), np.asarray(ref_ids))
+
+
+def test_full_robust_pipeline_matches_reference(tmp_path, rng):
+    """End-to-end: our robust_windows vs the reference's
+    data_of_combined_model on the same CSV tree."""
+    ref_exp = str(tmp_path / "ref_exp")
+    ours_exp = str(tmp_path / "ours_exp")
+    os.makedirs(ref_exp), os.makedirs(ours_exp)
+    _write_csv_tree(str(tmp_path))
+
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from utils.get_robust_data import data_of_combined_model
+
+    (ref_g, _), (ref_l, (ref_meta, ref_ids)) = data_of_combined_model(
+        trajectories_path=str(tmp_path), split="train", seg_len=12, seg_stride=1,
+        vid_res=[856, 480], normalization_strategy="robust", exp_dir=ref_exp,
+        reconstruct_original_data=False, normalize_pose=True,
+        include_global=True, debug=False,
+    )
+    (ours_g, _), (ours_l, (ours_meta, ours_ids)) = robust_windows(
+        str(tmp_path), split="train", seg_len=12, seg_stride=1,
+        vid_res=[856, 480], normalization_strategy="robust", exp_dir=ours_exp,
+        normalize_pose=True, include_global=True, debug=False,
+    )
+    np.testing.assert_allclose(ours_l, ref_l, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(ours_g, ref_g, rtol=1e-5, atol=1e-7)
+    assert [list(m) for m in ours_meta] == [list(m) for m in ref_meta]
+
+
+def test_load_robust_split_shapes(tmp_path):
+    _write_csv_tree(str(tmp_path))
+    ds = load_robust_split(
+        str(tmp_path), split="train", seg_len=12, seg_stride=1,
+        vid_res=[856, 480], exp_dir=str(tmp_path / "exp"), num_transform=5,
+    )
+    assert ds.data.shape[1:] == (3, 12, 17)
+    assert ds.meta.shape[1] == 4
+    assert ds.frame_ids.shape[1] == 12
+    assert len(ds) == ds.num_windows * 5
+    # conf channel is all ones
+    np.testing.assert_allclose(ds.data[:, 2], 1.0)
