@@ -216,3 +216,154 @@ def streaming_midpoint_stats(xs: jax.Array, k: float = -1.0):
 def midpoint_from_stats(weighted_sum: jax.Array, total_weight: jax.Array, k: float = -1.0) -> jax.Array:
     mean_klein = weighted_sum / jnp.maximum(total_weight, _MIN_NORM)
     return project(klein_to_poincare(mean_klein, k), k)
+
+
+# --------------------------------------------------------------------------
+# Batched / analysis utilities (reference utils/hyper_math.py:414-591)
+# --------------------------------------------------------------------------
+
+
+def mobius_addition_batch(x: jax.Array, y: jax.Array, k: float = -1.0) -> jax.Array:
+    """All-pairs Mobius addition: x [B, D], y [C, D] -> [B, C, D]
+    (reference utils/hyper_math.py:414-426, incl. its 1e-5 denom epsilon)."""
+    c = -k
+    xy = jnp.einsum("bd,cd->bc", x, y)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)  # [B, 1]
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)  # [C, 1]
+    num = (1 + 2 * c * xy + c * y2.T)[:, :, None] * x[:, None, :]
+    num = num + (1 - c * x2)[:, :, None] * y[None, :, :]
+    denom = 1 + 2 * c * xy + c**2 * x2 * y2.T
+    return num / (denom[:, :, None] + 1e-5)
+
+
+def dist_matrix(x: jax.Array, y: jax.Array, k: float = -1.0) -> jax.Array:
+    """All-pairs geodesic distances: x [B, D], y [C, D] -> [B, C]."""
+    sqrt_c = jnp.sqrt(-k)
+    norms = jnp.linalg.norm(mobius_addition_batch(-x, y, k), axis=-1)
+    return 2.0 / sqrt_c * artanh(sqrt_c * norms)
+
+
+def hyperbolic_softmax(x: jax.Array, a: jax.Array, p: jax.Array, k: float = -1.0) -> jax.Array:
+    """Hyperbolic multinomial logistic regression logits
+    (reference utils/hyper_math.py:428-436): x [B, D] points, a [C, D]
+    tangent normals, p [C, D] hyperplane offsets -> [B, C] logits."""
+    c = -k
+    lambda_pkc = 2.0 / (1.0 - c * jnp.sum(p * p, axis=1))
+    kk = lambda_pkc * jnp.linalg.norm(a, axis=1) / jnp.sqrt(c)
+    mob = mobius_addition_batch(-p, x, k)  # [C, B, D]
+    num = 2.0 * jnp.sqrt(c) * jnp.sum(mob * a[:, None, :], axis=-1)
+    denom = jnp.linalg.norm(a, axis=1, keepdims=True) * (
+        1.0 - c * jnp.sum(mob * mob, axis=2)
+    )
+    logit = kk[:, None] * arsinh(num / denom)
+    return logit.T
+
+
+def dist2plane(
+    x: jax.Array, p: jax.Array, a: jax.Array, k: float = -1.0, signed: bool = True
+) -> jax.Array:
+    """Signed distance from points x to the Poincare hyperplane through p
+    with tangent normal a (geoopt dist2plane semantics; used by
+    MobiusDist2Hyperplane, reference utils/hyperbolic.py:240-250)."""
+    c = -k
+    sqrt_c = jnp.sqrt(c)
+    diff = mobius_add(-p, x, k)
+    diff2 = jnp.sum(diff * diff, axis=-1)
+    sc = jnp.sum(diff * a, axis=-1)
+    if not signed:
+        sc = jnp.abs(sc)
+    a_norm = jnp.linalg.norm(a, axis=-1)
+    num = 2.0 * sqrt_c * sc
+    denom = jnp.maximum((1.0 - c * diff2) * a_norm, _MIN_NORM)
+    return arsinh(num / denom) / sqrt_c
+
+
+def auto_select_c(d: int) -> float:
+    """Curvature such that the d-dimensional ball has volume pi
+    (reference utils/hyper_math.py:494-504)."""
+    import math
+
+    dim2 = d / 2.0
+    r = math.gamma(dim2 + 1) / (math.pi ** (dim2 - 1))
+    r = r ** (1.0 / d)
+    return 1.0 / (r * r)
+
+
+def delta_hyp(dismat: jax.Array) -> jax.Array:
+    """Gromov delta-hyperbolicity of a distance matrix
+    (reference utils/hyper_math.py:536-542)."""
+    row = dismat[0, :][None, :]
+    col = dismat[:, 0][:, None]
+    gromov = 0.5 * (row + col - dismat)
+    maxmin = jnp.max(jnp.minimum(gromov[:, :, None], gromov[None, :, :]), axis=1)
+    return jnp.max(maxmin - gromov)
+
+
+def relative_delta(emb: jax.Array) -> jax.Array:
+    """2 * delta / diameter of the embedding's Euclidean distance matrix; the
+    reference estimates curvature as c = (0.144 / rel_delta)^2
+    (utils/hyper_math.py:545-561)."""
+    d2 = jnp.sum((emb[:, None, :] - emb[None, :, :]) ** 2, axis=-1)
+    dists = jnp.sqrt(jnp.maximum(d2, 0.0))
+    return 2.0 * delta_hyp(dists) / jnp.max(dists)
+
+
+def contrastive_loss(
+    x: jax.Array,
+    pos: jax.Array,
+    neg: jax.Array,
+    tau: float,
+    hyp_c: float = 1.0,
+):
+    """Hyperbolic (or cosine when hyp_c == 0) InfoNCE loss
+    (reference utils/hyper_math.py:507-531). Returns (loss, logits).
+
+    NOTE on argument semantics (kept identical to the reference, whose names
+    are misleading): the classification target for sample i is column i of
+    dist(x, `neg`) — i.e. `neg` is the *cross-view batch whose diagonal holds
+    the positive pairs*, while `pos` is the same-view batch contributing
+    negatives with its diagonal masked out."""
+    if hyp_c == 0:
+        dist_f = lambda u, v: u @ v.T
+    else:
+        dist_f = lambda u, v: -dist_matrix(u, v, k=-hyp_c)
+    bsize = x.shape[0]
+    eye_mask = jnp.eye(bsize) * 1e9
+    logits00 = dist_f(x, pos) / tau - eye_mask
+    logits01 = dist_f(x, neg) / tau
+    logits = jnp.concatenate([logits01, logits00], axis=1)
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
+    log_probs = jax.nn.log_softmax(logits, axis=1)
+    target = jnp.arange(bsize)
+    loss = -jnp.mean(log_probs[jnp.arange(bsize), target])
+    return loss, logits
+
+
+def frechet_mean(
+    xs: jax.Array,
+    k: float = -1.0,
+    num_iters: int = 30,
+    step_size: float = 0.5,
+    weights: jax.Array | None = None,
+) -> jax.Array:
+    """Karcher/Frechet mean on the ball via damped fixed-point iteration:
+    m <- exp_m(alpha * mean(log_m(x_i))), initialized at the gyromidpoint.
+
+    A unit step overshoots in negative curvature for spread-out point sets
+    (the squared-distance objective is more than 1-strongly convex along
+    geodesics), so alpha = 0.5 is used; empirically it converges to |step| ~
+    1e-8 within ~20 iterations and strictly improves on the gyromidpoint.
+    Differentiable (unrolled via lax.scan); replaces the reference's
+    custom-autograd iterative FrechtMean (utils/hyperbolic.py:293-524)."""
+    w = weights if weights is not None else jnp.ones(xs.shape[0])
+    w = w / jnp.sum(w)
+    m0 = weighted_midpoint(xs, k, weights=w * xs.shape[0])
+
+    def body(m, _):
+        tangents = logmap(m[None, :], xs, k)  # [N, D]
+        step = jnp.sum(w[:, None] * tangents, axis=0)
+        m_new = project(expmap(m, step_size * step, k), k)
+        return m_new, None
+
+    m, _ = jax.lax.scan(body, m0, None, length=num_iters)
+    return m
