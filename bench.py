@@ -68,8 +68,10 @@ def measure_tpu() -> float:
     )
     mesh = create_mesh()
     trainer = Trainer(cfg, ds, mesh=mesh)
+    # NOTE: any state field replaced here must carry the mesh sharding, or
+    # the next jit call recompiles for the new arg layout (a 40-step scan
+    # recompile once cost this bench a 5x artifact).
     state = trainer.init_state()
-    state = state.replace(center=jnp.ones((LATENT,)) * 0.1)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -89,7 +91,9 @@ def measure_tpu() -> float:
     jax.block_until_ready(m["loss"])
     z = trainer._embed_many(state.params, state.batch_stats, trainer.train_data,
                             score_chunks_warm, state.rng)
-    jax.block_until_ready(z)
+    warm_scores = trainer._score_fn(z.reshape(BATCH * k_score, -1), state.center,
+                                    state.inv_cov, state.mean_vector)
+    jax.block_until_ready(warm_scores)
     t0 = time.perf_counter()
     state, m = trainer._train_epoch(state, trainer.train_data, chunks)
     jax.block_until_ready(m["loss"])

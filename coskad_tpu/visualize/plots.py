@@ -1,0 +1,81 @@
+"""Score/ROC plotting (reference utils/eval_utils.py:216-230 ROC PNGs and the
+anomaly-score-per-person plots of visualize/visualize.ipynb)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..score.auc import roc_auc_score, roc_curve
+
+
+def plot_roc(y_true: np.ndarray, y_score: np.ndarray, path: str = "") -> float:
+    """ROC curve with the TPR = 1 - FPR crossing marked; saves a PNG when a
+    path is given. Returns the AUC."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fpr, tpr, _ = roc_curve(y_true, y_score)
+    auc = roc_auc_score(y_true, y_score)
+    idx = np.argwhere(np.diff(np.sign(tpr - (1 - fpr)))).flatten()
+
+    fig, ax = plt.subplots()
+    ax.plot(fpr, tpr, label=f"AUC={auc:.4f}")
+    ax.plot(fpr, 1 - fpr, "r:")
+    ax.plot(fpr[idx], tpr[idx], "ro")
+    ax.set_xlabel("FPR")
+    ax.set_ylabel("TPR")
+    ax.legend(loc=4)
+    ax.grid(True)
+    if path:
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        fig.savefig(path)
+    plt.close(fig)
+    return auc
+
+
+def plot_scores(
+    scores: np.ndarray,
+    gt: Optional[np.ndarray] = None,
+    path: str = "",
+    title: str = "anomaly score",
+    per_actor: Optional[Dict[int, np.ndarray]] = None,
+):
+    """Per-frame anomaly score curve with ground-truth shading; optional
+    per-actor curves underneath."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n_rows = 1 + (1 if per_actor else 0)
+    fig, axes = plt.subplots(n_rows, 1, figsize=(10, 3 * n_rows), squeeze=False)
+    ax = axes[0][0]
+    ax.plot(scores, color="tab:blue", linewidth=1)
+    if gt is not None:
+        ax.fill_between(
+            np.arange(len(gt)), 0, np.max(scores) if len(scores) else 1,
+            where=np.asarray(gt, bool), alpha=0.2, color="red",
+            label="ground truth",
+        )
+        ax.legend()
+    ax.set_title(title)
+    ax.set_xlabel("frame")
+    if per_actor:
+        ax2 = axes[1][0]
+        for actor, row in per_actor.items():
+            ax2.plot(row, linewidth=0.8, label=f"actor {actor}")
+        ax2.legend(fontsize=7)
+        ax2.set_title("per-actor scores")
+    fig.tight_layout()
+    if path:
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        fig.savefig(path)
+    plt.close(fig)
