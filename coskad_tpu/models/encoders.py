@@ -247,6 +247,7 @@ def make_encoder(
     n_joints: int,
     dropout: float,
     use_bias: bool,
+    dtype=jnp.float32,
     name: str = "encoder",
 ):
     """Encoder registry (reference models/sts/ae.py:14,124-142)."""
@@ -258,6 +259,7 @@ def make_encoder(
             joints_dim=n_joints,
             dropout=dropout,
             use_bias=use_bias,
+            dtype=dtype,
             name=name,
         )
     if et == "st_gcn":

@@ -20,7 +20,7 @@ projector kernel accordingly (see tests/test_model_parity.py).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,10 +34,12 @@ from .stsgcn import (
 )
 
 
-def _dense(features: int, fan_in: int, use_bias: bool, name: str) -> nn.Dense:
+def _dense(features: int, fan_in: int, use_bias: bool, name: str,
+           dtype=jnp.float32) -> nn.Dense:
     return nn.Dense(
         features,
         use_bias=use_bias,
+        dtype=dtype,
         kernel_init=torch_linear_kernel_init,
         bias_init=torch_bias_init_from_fan(fan_in),
         name=name,
@@ -61,6 +63,9 @@ class STSE(nn.Module):
     projector_hidden_layers: Optional[Sequence[int]] = None
     dropout: float = 0.0
     use_bias: bool = True
+    # Compute dtype (params stay float32); bfloat16 halves the HBM traffic
+    # that dominates the train step. Latents are always returned in float32.
+    dtype: Any = jnp.float32
 
     def setup(self):
         from .encoders import make_encoder
@@ -73,12 +78,14 @@ class STSE(nn.Module):
             n_joints=self.n_joints,
             dropout=self.dropout,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="encoder",
         )
         flat = self.hidden_dimension * self.n_frames * self.n_joints
         proj = self.projector.lower()
         if proj == "linear":
-            self.btlnk = _dense(self.latent_dim, flat, self.use_bias, "btlnk")
+            self.btlnk = _dense(self.latent_dim, flat, self.use_bias, "btlnk",
+                                dtype=self.dtype)
         elif proj == "mlp":
             hidden = list(self.projector_hidden_layers or [self.latent_dim])
             self.btlnk = MLPHead(
@@ -100,7 +107,7 @@ class STSE(nn.Module):
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCTV -> NTVC
         h = self.encoder(x, train=train)
         flat = h.reshape(h.shape[0], -1)  # (T, V, C) flatten order
-        z = self._apply_btlnk(flat, train)
+        z = self._apply_btlnk(flat, train).astype(jnp.float32)
         return z, h
 
     def __call__(self, x, train: bool = False):
@@ -133,6 +140,7 @@ class STSAE(STSE):
             joints_dim=self.n_joints,
             dropout=self.dropout,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="decoder",
         )
 
@@ -190,6 +198,7 @@ class STSVAE(STSAE):
             joints_dim=self.n_joints,
             dropout=self.dropout,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             name="decoder",
         )
 

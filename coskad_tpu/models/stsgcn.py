@@ -17,7 +17,7 @@ weights can be transplanted for golden parity tests.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,20 +61,30 @@ class SpaceTimeGraphConv(nn.Module):
     Input/output [B, T, V, C]. Equivalent to the reference's
     einsum('nctv,vtq->ncqv') + einsum('nctv,tvw->nctw')
     (models/graph_layers/stsgcn.py:154-155) in channels-last layout.
+    Params stay float32; with a reduced `dtype` the contraction inputs are
+    cast down and accumulated in float32 (MXU-native mixed precision).
     """
 
     time_dim: int
     joints_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         t, v = self.time_dim, self.joints_dim
         t_adj = self.param("t_adj", _uniform_init(1.0 / t**0.5), (v, t, t))
         a_adj = self.param("a_adj", _uniform_init(1.0 / v**0.5), (t, v, v))
+        x = x.astype(self.dtype)
         # temporal mixing per joint: out[b, q, v, c] = sum_t x[b, t, v, c] * T[v, t, q]
-        x = jnp.einsum("btvc,vtq->bqvc", x, t_adj)
+        x = jnp.einsum(
+            "btvc,vtq->bqvc", x, t_adj.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
         # spatial mixing per frame: out[b, t, w, c] = sum_v x[b, t, v, c] * A[t, v, w]
-        x = jnp.einsum("btvc,tvw->btwc", x, a_adj)
+        x = jnp.einsum(
+            "btvc,tvw->btwc", x, a_adj.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
         return x
 
 
@@ -87,34 +97,41 @@ class STSGCNLayer(nn.Module):
     joints_dim: int
     dropout: float = 0.0
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
+        x = x.astype(self.dtype)
         res = x
         if in_channels != self.out_channels:
             res = nn.Dense(
                 self.out_channels,
                 use_bias=self.use_bias,
+                dtype=self.dtype,
                 kernel_init=torch_linear_kernel_init,
                 bias_init=torch_bias_init_from_fan(in_channels),
                 name="residual_dense",
             )(x)
             res = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name="residual_bn",
+                dtype=self.dtype, name="residual_bn",
             )(res)
 
-        x = SpaceTimeGraphConv(self.time_dim, self.joints_dim, name="gcn")(x)
+        x = SpaceTimeGraphConv(
+            self.time_dim, self.joints_dim, dtype=self.dtype, name="gcn"
+        )(x)
         x = nn.Dense(
             self.out_channels,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_bias_init_from_fan(in_channels),
             name="tcn_dense",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="tcn_bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="tcn_bn"
         )(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -135,6 +152,7 @@ class STSGCNStack(nn.Module):
     joints_dim: int
     dropout: float = 0.0
     use_bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -145,6 +163,7 @@ class STSGCNStack(nn.Module):
                 joints_dim=self.joints_dim,
                 dropout=self.dropout,
                 use_bias=self.use_bias,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, train=train)
         return x

@@ -45,7 +45,11 @@ from .state import TrainState, clamp_center, init_state
 
 
 def model_kwargs_from_config(cfg: Config) -> dict:
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.run.compute_dtype == "bfloat16" else jnp.float32
     return dict(
+        dtype=dtype,
         use_decoder=cfg.model.use_decoder,
         use_vae=cfg.model.use_vae,
         input_dim=cfg.model.num_coords,
