@@ -21,6 +21,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="COSKAD-TPU training")
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--epochs", type=int, default=None, help="override epoch count")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from <exp_dir>/last.ckpt if present")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compile_cache
@@ -50,13 +52,20 @@ def main(argv=None):
     logger = MetricLogger(log_dir=ckpt_dir)
     trainer = Trainer(cfg, train_ds, val_ds, gts, logger=logger)
     state = trainer.init_state()
-    state = trainer.initialize_center(state)
-    print(f"[coskad] center initialized, |c| = "
-          f"{float(jax.numpy.linalg.norm(state.center)):.4f}")
+    start_epoch, best_auc = 0, -1.0
+    resume_path = os.path.join(ckpt_dir, "last.ckpt")
+    if args.resume and os.path.exists(resume_path):
+        state, _, extra = checkpoint.restore(resume_path, state)
+        start_epoch = int(extra.get("epoch", -1)) + 1
+        best_auc = float(extra.get("best_auc", -1.0))
+        print(f"[coskad] resumed from {resume_path} at epoch {start_epoch}")
+    else:
+        state = trainer.initialize_center(state)
+        print(f"[coskad] center initialized, |c| = "
+              f"{float(jax.numpy.linalg.norm(state.center)):.4f}")
 
     epochs = args.epochs if args.epochs is not None else cfg.opt.epochs
-    best_auc = -1.0
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         state, history = trainer.fit(state=state, epochs=1)
         auc = history["validation_auc"][-1] if history["validation_auc"] else None
         if auc is not None and auc > best_auc:
@@ -67,7 +76,8 @@ def main(argv=None):
             )
         checkpoint.save(
             os.path.join(ckpt_dir, "last.ckpt"), state, cfg,
-            scaler=train_ds.scaler, extra={"epoch": epoch},
+            scaler=train_ds.scaler,
+            extra={"epoch": epoch, "best_auc": best_auc},
         )
         msg = f"[coskad] epoch {epoch + 1}/{epochs} loss={history['loss'][-1]:.6f}"
         if auc is not None:
