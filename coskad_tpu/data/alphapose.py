@@ -57,6 +57,14 @@ def parse_person(
 
 
 def parse_clip_json(path: str, kp_threshold: float = 0.0) -> List[PersonTrajectory]:
+    # Fast path: the C++ single-pass parser (data/native.py), byte-identical
+    # semantics; disable with COSKAD_NATIVE=0.
+    if os.environ.get("COSKAD_NATIVE", "1") != "0":
+        from .native import parse_clip_json_native
+
+        native = parse_clip_json_native(path, kp_threshold)
+        if native is not None:
+            return native
     with open(path, "r") as f:
         clip_dict = json.load(f)
     trajectories = []

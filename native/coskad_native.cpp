@@ -1,0 +1,320 @@
+// coskad_native: C++ data-plane accelerators for coskad_tpu.
+//
+// The reference's dataset startup is dominated by parsing per-clip
+// AlphaPose JSONs in Python (utils/dataset.py:144-148, SURVEY.md hot loop
+// #1). This CPython extension parses the constrained schema
+//   { person_id: { frame_key: { "keypoints": [x, y, c, ...], ... }, ... }
+//   | person_id: [ {frame_key: {...}}, ... ] }
+// with a single-pass recursive-descent parser, returning per-person flat
+// keypoint buffers. Ordering/merging semantics stay in the Python shim
+// (coskad_tpu/data/native.py) so they remain byte-identical to the pure
+// Python path.
+//
+// Build: g++ -O3 -shared -fPIC -I<python-include> coskad_native.cpp -o _coskad_native.so
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdlib>
+#include <cstring>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Parser {
+  const char* p;
+  const char* end;
+
+  explicit Parser(const char* data, size_t len) : p(data), end(data + len) {}
+
+  [[noreturn]] void fail(const char* msg) {
+    throw std::runtime_error(std::string(msg) + " at offset " +
+                             std::to_string(static_cast<size_t>(p - end)));
+  }
+
+  void skip_ws() {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) ++p;
+  }
+
+  char peek() {
+    skip_ws();
+    if (p >= end) fail("unexpected end of input");
+    return *p;
+  }
+
+  void expect(char c) {
+    if (peek() != c) fail("unexpected character");
+    ++p;
+  }
+
+  std::string parse_string() {
+    expect('"');
+    std::string out;
+    while (p < end && *p != '"') {
+      if (*p == '\\') {
+        ++p;
+        if (p >= end) fail("bad escape");
+        switch (*p) {
+          case '"': out.push_back('"'); break;
+          case '\\': out.push_back('\\'); break;
+          case '/': out.push_back('/'); break;
+          case 'b': out.push_back('\b'); break;
+          case 'f': out.push_back('\f'); break;
+          case 'n': out.push_back('\n'); break;
+          case 'r': out.push_back('\r'); break;
+          case 't': out.push_back('\t'); break;
+          case 'u': {
+            // frame keys / person ids are ASCII digits; decode BMP only
+            if (end - p < 5) fail("bad \\u escape");
+            unsigned code = 0;
+            for (int i = 1; i <= 4; ++i) {
+              char c = p[i];
+              code <<= 4;
+              if (c >= '0' && c <= '9') code |= c - '0';
+              else if (c >= 'a' && c <= 'f') code |= c - 'a' + 10;
+              else if (c >= 'A' && c <= 'F') code |= c - 'A' + 10;
+              else fail("bad \\u escape");
+            }
+            // UTF-8 encode
+            if (code < 0x80) out.push_back(static_cast<char>(code));
+            else if (code < 0x800) {
+              out.push_back(static_cast<char>(0xC0 | (code >> 6)));
+              out.push_back(static_cast<char>(0x80 | (code & 0x3F)));
+            } else {
+              out.push_back(static_cast<char>(0xE0 | (code >> 12)));
+              out.push_back(static_cast<char>(0x80 | ((code >> 6) & 0x3F)));
+              out.push_back(static_cast<char>(0x80 | (code & 0x3F)));
+            }
+            p += 4;
+            break;
+          }
+          default: fail("unsupported escape");
+        }
+        ++p;
+      } else {
+        out.push_back(*p++);
+      }
+    }
+    if (p >= end) fail("unterminated string");
+    ++p;  // closing quote
+    return out;
+  }
+
+  double parse_number() {
+    skip_ws();
+    char* num_end = nullptr;
+    double v = std::strtod(p, &num_end);
+    if (num_end == p) fail("bad number");
+    p = num_end;
+    return v;
+  }
+
+  // Skip any JSON value (used for fields we don't need).
+  void skip_value() {
+    char c = peek();
+    if (c == '"') {
+      parse_string();
+    } else if (c == '{') {
+      ++p;
+      if (peek() == '}') { ++p; return; }
+      while (true) {
+        parse_string();
+        expect(':');
+        skip_value();
+        char d = peek();
+        if (d == ',') { ++p; continue; }
+        expect('}');
+        break;
+      }
+    } else if (c == '[') {
+      ++p;
+      if (peek() == ']') { ++p; return; }
+      while (true) {
+        skip_value();
+        char d = peek();
+        if (d == ',') { ++p; continue; }
+        expect(']');
+        break;
+      }
+    } else if (c == 't') {
+      if (end - p < 4 || std::strncmp(p, "true", 4)) fail("bad literal");
+      p += 4;
+    } else if (c == 'f') {
+      if (end - p < 5 || std::strncmp(p, "false", 5)) fail("bad literal");
+      p += 5;
+    } else if (c == 'n') {
+      if (end - p < 4 || std::strncmp(p, "null", 4)) fail("bad literal");
+      p += 4;
+    } else {
+      parse_number();
+    }
+  }
+
+  // Parse a numbers-only array into out; returns count.
+  size_t parse_number_array(std::vector<double>& out) {
+    expect('[');
+    size_t n = 0;
+    if (peek() == ']') { ++p; return 0; }
+    while (true) {
+      out.push_back(parse_number());
+      ++n;
+      char d = peek();
+      if (d == ',') { ++p; continue; }
+      expect(']');
+      break;
+    }
+    return n;
+  }
+};
+
+struct Frame {
+  std::string key;
+  size_t offset;  // into the person's flat keypoint buffer
+  size_t count;
+};
+
+struct Person {
+  std::string id;
+  std::vector<Frame> frames;
+  std::vector<double> kps;  // concatenated keypoints
+};
+
+// frame object: { "keypoints": [...], <other fields skipped> }
+void parse_frame_object(Parser& ps, Person& person, const std::string& frame_key) {
+  Frame fr;
+  fr.key = frame_key;
+  fr.offset = person.kps.size();
+  fr.count = 0;
+  ps.expect('{');
+  if (ps.peek() == '}') { ++ps.p; person.frames.push_back(fr); return; }
+  while (true) {
+    std::string key = ps.parse_string();
+    ps.expect(':');
+    if (key == "keypoints") {
+      fr.count = ps.parse_number_array(person.kps);
+    } else {
+      ps.skip_value();
+    }
+    char d = ps.peek();
+    if (d == ',') { ++ps.p; continue; }
+    ps.expect('}');
+    break;
+  }
+  person.frames.push_back(fr);
+}
+
+// person value: {frame: obj, ...} or [ {frame: obj, ...}, ... ]
+void parse_person_value(Parser& ps, Person& person) {
+  char c = ps.peek();
+  if (c == '[') {
+    ++ps.p;
+    if (ps.peek() == ']') { ++ps.p; return; }
+    while (true) {
+      parse_person_value(ps, person);
+      char d = ps.peek();
+      if (d == ',') { ++ps.p; continue; }
+      ps.expect(']');
+      break;
+    }
+    return;
+  }
+  ps.expect('{');
+  if (ps.peek() == '}') { ++ps.p; return; }
+  while (true) {
+    std::string frame_key = ps.parse_string();
+    ps.expect(':');
+    parse_frame_object(ps, person, frame_key);
+    char d = ps.peek();
+    if (d == ',') { ++ps.p; continue; }
+    ps.expect('}');
+    break;
+  }
+}
+
+}  // namespace
+
+// parse_clip(data: bytes) ->
+//   list[(person_id: str, frame_keys: list[str], kp_buffer: bytes,
+//         offsets: bytes /* uint64 */, counts: bytes /* uint64 */)]
+static PyObject* parse_clip(PyObject*, PyObject* args) {
+  const char* data;
+  Py_ssize_t len;
+  if (!PyArg_ParseTuple(args, "y#", &data, &len)) return nullptr;
+
+  std::vector<Person> persons;
+  std::string error;
+  // NOTE: exceptions must not cross Py_BEGIN/END_ALLOW_THREADS (they would
+  // skip the GIL reacquisition and crash on PyErr_SetString) — catch inside.
+  Py_BEGIN_ALLOW_THREADS;
+  try {
+    Parser ps(data, static_cast<size_t>(len));
+    ps.expect('{');
+    if (ps.peek() == '}') {
+      ++ps.p;
+    } else {
+      while (true) {
+        Person person;
+        person.id = ps.parse_string();
+        ps.expect(':');
+        parse_person_value(ps, person);
+        persons.push_back(std::move(person));
+        char d = ps.peek();
+        if (d == ',') { ++ps.p; continue; }
+        ps.expect('}');
+        break;
+      }
+    }
+  } catch (const std::exception& e) {
+    error = e.what();
+  }
+  Py_END_ALLOW_THREADS;
+  if (!error.empty()) {
+    PyErr_SetString(PyExc_ValueError, error.c_str());
+    return nullptr;
+  }
+
+  PyObject* out = PyList_New(static_cast<Py_ssize_t>(persons.size()));
+  if (!out) return nullptr;
+  for (size_t i = 0; i < persons.size(); ++i) {
+    const Person& person = persons[i];
+    PyObject* keys = PyList_New(static_cast<Py_ssize_t>(person.frames.size()));
+    std::vector<uint64_t> offsets(person.frames.size());
+    std::vector<uint64_t> counts(person.frames.size());
+    for (size_t j = 0; j < person.frames.size(); ++j) {
+      PyList_SET_ITEM(keys, static_cast<Py_ssize_t>(j),
+                      PyUnicode_FromStringAndSize(person.frames[j].key.data(),
+                                                  static_cast<Py_ssize_t>(person.frames[j].key.size())));
+      offsets[j] = person.frames[j].offset;
+      counts[j] = person.frames[j].count;
+    }
+    PyObject* kp_bytes = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(person.kps.data()),
+        static_cast<Py_ssize_t>(person.kps.size() * sizeof(double)));
+    PyObject* off_bytes = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(offsets.data()),
+        static_cast<Py_ssize_t>(offsets.size() * sizeof(uint64_t)));
+    PyObject* cnt_bytes = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(counts.data()),
+        static_cast<Py_ssize_t>(counts.size() * sizeof(uint64_t)));
+    PyObject* tup = Py_BuildValue(
+        "s#NNNN", person.id.data(), static_cast<Py_ssize_t>(person.id.size()),
+        keys, kp_bytes, off_bytes, cnt_bytes);
+    PyList_SET_ITEM(out, static_cast<Py_ssize_t>(i), tup);
+  }
+  return out;
+}
+
+static PyMethodDef methods[] = {
+    {"parse_clip", parse_clip, METH_VARARGS,
+     "Parse an AlphaPose tracked-person clip JSON into per-person buffers."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_coskad_native",
+    "C++ data-plane accelerators for coskad_tpu", -1, methods,
+};
+
+PyMODINIT_FUNC PyInit__coskad_native(void) { return PyModule_Create(&moduledef); }

@@ -1,0 +1,144 @@
+"""C++ JSON parser: byte-identical semantics vs the pure-Python path."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from coskad_tpu.data import alphapose
+from coskad_tpu.data.native import native_available, parse_clip_json_native
+
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native toolchain unavailable"
+)
+
+
+def _python_parse(path, kp_threshold=0.0):
+    with open(path) as f:
+        clip = json.load(f)
+    return [
+        alphapose.parse_person(clip[pid], int(pid), kp_threshold)
+        for pid in sorted(clip.keys(), key=int)
+    ]
+
+
+def _assert_same(native, python):
+    assert len(native) == len(python)
+    for n, p in zip(native, python):
+        assert n.person_id == p.person_id
+        assert n.frame_keys == p.frame_keys
+        np.testing.assert_allclose(n.keypoints, p.keypoints, rtol=0, atol=0)
+
+
+def test_basic_clip(tmp_path, rng):
+    clip = {}
+    for pid in ("1", "7", "12"):  # non-contiguous, tests numeric person sort
+        frames = {}
+        for f in rng.permutation(range(3, 40))[:25]:
+            kp = rng.uniform(-10, 900, size=(17, 3))
+            frames[f"{f:04d}"] = {"keypoints": kp.reshape(-1).tolist()}
+        clip[pid] = frames
+    path = tmp_path / "c.json"
+    path.write_text(json.dumps(clip))
+    _assert_same(parse_clip_json_native(str(path)), _python_parse(str(path)))
+
+
+def test_list_person_form_and_extra_fields(tmp_path, rng):
+    """Person value as a list of dicts (merged, later keys win) + skipped
+    extra fields of every JSON type."""
+    kp1 = rng.normal(size=51).tolist()
+    kp2 = rng.normal(size=51).tolist()
+    kp2b = rng.normal(size=51).tolist()
+    clip = {
+        "2": [
+            {"0001": {"keypoints": kp1, "scores": [0.1, 0.2],
+                      "box": {"x": 1, "y": [2, {"z": None}]},
+                      "flag": True, "note": "a \"quoted\" étape"}},
+            {"0002": {"keypoints": kp2}, "0001": {"keypoints": kp2b}},
+        ]
+    }
+    path = tmp_path / "c.json"
+    path.write_text(json.dumps(clip))
+    native = parse_clip_json_native(str(path))
+    python = _python_parse(str(path))
+    _assert_same(native, python)
+    # later duplicate frame key won (dict.update semantics)
+    np.testing.assert_allclose(native[0].keypoints[0].reshape(-1), kp2b)
+
+
+def test_number_formats(tmp_path):
+    vals = [1, -2.5, 1e-8, -3.25e4, 0.0, 12345678.9]
+    kp = (vals * 9)[:51]
+    clip = {"1": {"0005": {"keypoints": kp}}}
+    path = tmp_path / "c.json"
+    path.write_text(json.dumps(clip))
+    native = parse_clip_json_native(str(path))
+    np.testing.assert_allclose(native[0].keypoints.reshape(-1), kp, rtol=0)
+
+
+def test_kp_threshold(tmp_path, rng):
+    kp = rng.uniform(0, 1, size=(17, 3))
+    kp[:, 2] = np.linspace(0, 1, 17)
+    clip = {"1": {"0001": {"keypoints": kp.reshape(-1).tolist()}}}
+    path = tmp_path / "c.json"
+    path.write_text(json.dumps(clip))
+    native = parse_clip_json_native(str(path), kp_threshold=0.5)
+    python = _python_parse(str(path), kp_threshold=0.5)
+    _assert_same(native, python)
+    assert (native[0].keypoints[0][kp[:, 2] < 0.5, :2] == 0).all()
+
+
+def test_malformed_json_raises(tmp_path):
+    path = tmp_path / "bad.json"
+    path.write_text('{"1": {"0001": {"keypoints": [1, 2, }}}')
+    with pytest.raises(ValueError):
+        parse_clip_json_native(str(path))
+
+
+def test_load_split_uses_native(tmp_path, rng, monkeypatch):
+    """End-to-end: load_alphapose_split gives identical datasets with and
+    without the native parser."""
+    d = tmp_path / "train"
+    d.mkdir()
+    clip = {}
+    for pid in ("1", "2"):
+        frames = {}
+        for f in range(1, 40):
+            kp = rng.uniform(10, 400, size=(17, 3))
+            frames[f"{f:04d}"] = {"keypoints": kp.reshape(-1).tolist()}
+        clip[pid] = frames
+    (d / "01_0001_t.json").write_text(json.dumps(clip))
+
+    ds_native = alphapose.load_alphapose_split(str(d), seg_len=12, seg_stride=4)
+    monkeypatch.setenv("COSKAD_NATIVE", "0")
+    ds_python = alphapose.load_alphapose_split(str(d), seg_len=12, seg_stride=4)
+    np.testing.assert_allclose(ds_native.data, ds_python.data)
+    np.testing.assert_allclose(ds_native.meta, ds_python.meta)
+    np.testing.assert_allclose(ds_native.frame_ids, ds_python.frame_ids)
+
+
+def test_native_is_faster(tmp_path, rng):
+    """Sanity perf check on a larger clip (not a strict benchmark)."""
+    import time
+
+    clip = {}
+    for pid in range(1, 30):
+        frames = {}
+        for f in range(1, 400):
+            kp = rng.uniform(0, 900, size=51)
+            frames[f"{f:05d}"] = {"keypoints": kp.tolist(),
+                                  "scores": rng.uniform(size=17).tolist()}
+        clip[str(pid)] = frames
+    path = tmp_path / "big.json"
+    path.write_text(json.dumps(clip))
+
+    t0 = time.perf_counter()
+    parse_clip_json_native(str(path))
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _python_parse(str(path))
+    t_python = time.perf_counter() - t0
+    print(f"native {t_native*1000:.1f} ms vs python {t_python*1000:.1f} ms")
+    assert t_native < t_python
