@@ -19,6 +19,10 @@ def main(argv=None):
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--ckpt", default=None,
                         help="checkpoint path (default: <exp_dir>/best.ckpt)")
+    parser.add_argument("--rec-weight", type=float, default=0.0,
+                        help="autoencoder scoring mode (reference rule: 0 -> "
+                             "latent distance, >100 -> reconstruction, else "
+                             "rec/weight + latent)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compile_cache
@@ -67,11 +71,20 @@ def main(argv=None):
     state, _, extra = checkpoint.restore(ckpt_path, state)
     print(f"[coskad] restored {ckpt_path} {extra}")
 
-    z = trainer.embed_all(state, test_ds, trainer.train_data)
+    z, rec = trainer.embed_all(state, test_ds, trainer.train_data, return_rec=True)
     scores = np.asarray(
         trainer._score_fn(jnp.asarray(z), state.center, state.inv_cov,
                           state.mean_vector)
     )
+    if cfg.model.variant == "autoencoder" and args.rec_weight != 0:
+        from ..score.window_losses import mode_from_rec_weight
+
+        mode = mode_from_rec_weight(args.rec_weight)
+        print(f"[coskad] autoencoder scoring mode: {mode}")
+        if mode == "rec":
+            scores = rec
+        else:  # rec+hyp
+            scores = rec / args.rec_weight + scores
     k = max(cfg.data.num_transform, 1)
     nw = test_ds.num_windows
     trans = np.repeat(np.arange(k), nw)

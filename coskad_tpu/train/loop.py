@@ -229,32 +229,45 @@ class Trainer:
 
     def _embed_step_impl(
         self, params, batch_stats, data, indices, rng
-    ) -> jax.Array:
-        """Eval-mode latents for a batch of logical indices."""
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Eval-mode (latents, per-window reconstruction MSE) for a batch.
+
+        rec_err is zeros for encoder-only variants; for decoder variants it
+        feeds the reference's 'rec' / 'rec+hyp' scoring modes
+        (windows_based_loss_rec_and_hy, utils/eval_utils.py:77-106)."""
         batch = self._gather(data, indices)
         out, _ = self._forward(params, batch_stats, batch, train=False, rng=rng)
-        return objectives.latent_of(self.cfg.model.variant, out)
+        z = objectives.latent_of(self.cfg.model.variant, out)
+        if self.cfg.model.use_decoder:
+            recon = out[1]
+            rec_err = jnp.mean((recon - batch) ** 2, axis=(1, 2, 3))
+        else:
+            rec_err = jnp.zeros(z.shape[0], jnp.float32)
+        return z, rec_err
 
     def _embed_many_impl(self, params, batch_stats, data, indices, rng):
-        """Scan embedding over [K, B] index chunks -> [K, B, D]."""
+        """Scan embedding over [K, B] index chunks -> ([K, B, D], [K, B])."""
 
         def body(i, idx):
-            z = self._embed_step_impl(
+            z, rec = self._embed_step_impl(
                 params, batch_stats, data, idx, jax.random.fold_in(rng, i)
             )
-            return i + 1, z
+            return i + 1, (z, rec)
 
-        _, zs = jax.lax.scan(body, 0, indices)
-        return zs
+        _, (zs, recs) = jax.lax.scan(body, 0, indices)
+        return zs, recs
 
     def _score_impl(self, z, center, inv_cov, mean_vector) -> jax.Array:
         return objectives.window_scores(self.cfg, z, center, inv_cov, mean_vector)
 
     # ------------------------------------------------------------ embedding
 
-    def embed_all(self, state: TrainState, ds: SegmentDataset, data) -> np.ndarray:
-        """Latents for every (window x transform) item: pad to a whole number
-        of batches and run ONE scanned device call."""
+    def embed_all(
+        self, state: TrainState, ds: SegmentDataset, data, return_rec: bool = False
+    ):
+        """Latents (and optionally per-window reconstruction errors) for
+        every (window x transform) item: pad to a whole number of batches and
+        run ONE scanned device call."""
         n = len(ds)
         bs = self.batch_size
         k = (n + bs - 1) // bs
@@ -267,8 +280,11 @@ class Trainer:
             ),
         )
         rng = jax.random.fold_in(state.rng, 7)
-        zs = self._embed_many(state.params, state.batch_stats, data, idx_dev, rng)
-        return np.asarray(zs).reshape(k * bs, -1)[:n]
+        zs, recs = self._embed_many(state.params, state.batch_stats, data, idx_dev, rng)
+        z = np.asarray(zs).reshape(k * bs, -1)[:n]
+        if return_rec:
+            return z, np.asarray(recs).reshape(k * bs)[:n]
+        return z
 
     # ------------------------------------------------------------ center init
 
@@ -327,12 +343,20 @@ class Trainer:
     def validate(self, state: TrainState) -> Optional[EvalResult]:
         if self.val_ds is None or not self.ground_truths:
             return None
-        z = self.embed_all(state, self.val_ds, self.val_data)
-        scores = np.asarray(
-            self._score_fn(
-                jnp.asarray(z), state.center, state.inv_cov, state.mean_vector
+        z, rec = self.embed_all(state, self.val_ds, self.val_data, return_rec=True)
+        if self.cfg.model.variant == "autoencoder":
+            # The reference's in-training AE validation scores windows by
+            # reconstruction MSE (windows_based_loss_rec_and_hy with its
+            # default loss_type='rec'; euclidean_autoencoder.py:197); its
+            # offline eval scores by latent distance (rec_loss_weight=0 ->
+            # 'hyp', eval_COSKAD.py:66-69). Both behaviours are preserved.
+            scores = rec
+        else:
+            scores = np.asarray(
+                self._score_fn(
+                    jnp.asarray(z), state.center, state.inv_cov, state.mean_vector
+                )
             )
-        )
         k = max(self.cfg.data.num_transform, 1)
         nw = self.val_ds.num_windows
         trans = np.repeat(np.arange(k), nw)
