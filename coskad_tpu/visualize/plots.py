@@ -1,5 +1,6 @@
-"""Score/ROC plotting (reference utils/eval_utils.py:216-230 ROC PNGs and the
-anomaly-score-per-person plots of visualize/visualize.ipynb)."""
+"""Score/ROC/latent plotting (reference utils/eval_utils.py:216-230 ROC PNGs
+and the latent-sphere / anomaly-score-per-person plots of
+visualize/visualize.ipynb)."""
 
 from __future__ import annotations
 
@@ -73,6 +74,60 @@ def plot_scores(
         ax2.legend(fontsize=7)
         ax2.set_title("per-actor scores")
     fig.tight_layout()
+    if path:
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        fig.savefig(path)
+    plt.close(fig)
+
+
+def plot_latents(
+    latents: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+    center: Optional[np.ndarray] = None,
+    path: str = "",
+    three_d: bool = True,
+    title: str = "latent space",
+):
+    """Latent-space scatter (3D when the geometry is spherical/3D-projected,
+    else 2D), colored by anomaly labels, with the center marked — the
+    latent-sphere plots of the reference's analysis notebook
+    (visualize/visualize.ipynb). Dimensions above 3 are PCA-projected."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    z = np.asarray(latents, np.float64)
+    c = None if center is None else np.asarray(center, np.float64)
+    d = 3 if three_d else 2
+    if z.shape[1] > d:
+        mu = z.mean(0)
+        zc = z - mu
+        _, _, vt = np.linalg.svd(zc, full_matrices=False)
+        z = zc @ vt[:d].T
+        if c is not None:
+            c = (c - mu) @ vt[:d].T
+    colors = None
+    if labels is not None:
+        colors = np.where(np.asarray(labels) > 0, "crimson", "steelblue")
+
+    fig = plt.figure(figsize=(6, 6))
+    if d == 3:
+        ax = fig.add_subplot(111, projection="3d")
+        ax.scatter(z[:, 0], z[:, 1], z[:, 2], s=4, c=colors, alpha=0.6)
+        if c is not None:
+            ax.scatter([c[0]], [c[1]], [c[2]], s=120, marker="*", c="black",
+                       label="center")
+            ax.legend()
+    else:
+        ax = fig.add_subplot(111)
+        ax.scatter(z[:, 0], z[:, 1], s=4, c=colors, alpha=0.6)
+        if c is not None:
+            ax.scatter([c[0]], [c[1]], s=120, marker="*", c="black", label="center")
+            ax.legend()
+    ax.set_title(title)
     if path:
         import os
 

@@ -81,3 +81,14 @@ def test_extract_frames_roundtrip(tmp_path):
     assert n == 6
     assert os.path.exists(tmp_path / "frames" / "1.jpg")
     assert os.path.exists(tmp_path / "frames" / "6.jpg")
+
+
+def test_plot_latents(tmp_path, rng):
+    from coskad_tpu.visualize import plot_latents
+
+    z = rng.normal(size=(200, 16))
+    labels = rng.integers(0, 2, 200)
+    plot_latents(z, labels, center=np.zeros(16), path=str(tmp_path / "lat3.png"))
+    plot_latents(z, labels, path=str(tmp_path / "lat2.png"), three_d=False)
+    assert os.path.getsize(tmp_path / "lat3.png") > 0
+    assert os.path.getsize(tmp_path / "lat2.png") > 0
