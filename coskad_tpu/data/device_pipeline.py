@@ -1,0 +1,239 @@
+"""Fused device-side preprocessing: trajectories -> normalized windows in-jit.
+
+The BASELINE.json north star: instead of materializing every sliding window
+on the host ([N, C, T, V] with ~T-fold duplication at stride 1), whole
+per-person trajectories stay HBM-resident once ([P, F, V, 3] padded) and the
+jitted step gathers window rows, normalizes them, applies the geometric
+transform and drops the confidence channel — all fused into the training /
+embedding program.
+
+Semantics are identical to the host path (data/alphapose.py + normalize.py):
+- window validity (the <=2-missing-frames continuity rule) is decided on the
+  host when building the index table; window CONTENT is consecutive
+  trajectory rows, reproducing the reference exactly (gaps included),
+- 'markovitz' / 'stan' / 'bbox' normalizations are per-window-independent
+  and computed in-jit; 'robust' applies the host-fitted scaler (elementwise)
+  in-jit,
+- the per-(t)ransform expansion uses the same logical indexing
+  (i % N windows, i // N transforms).
+
+Memory: stride-1 evaluation windows duplicate each frame ~T times; the
+trajectory store is up to T x smaller in HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transforms import apply_transforms
+from .windows import (
+    PersonTrajectory,
+    SegmentDataset,
+    is_seg_continuous,
+    keypoints17_to_coco18,
+)
+
+
+@dataclass
+class TrajectoryStore:
+    """Device-resident trajectories + host-side window index tables."""
+
+    traj: jax.Array  # [P, F_max, V, 3] float32 (zero padded)
+    window_person: np.ndarray  # [N] int32 row into traj
+    window_start: np.ndarray  # [N] int32 start row within the trajectory
+    meta: np.ndarray  # [N, 4] scene, clip, person, start_frame
+    frame_ids: np.ndarray  # [N, T] actual frame keys
+    seg_len: int
+    num_transform: int
+    normalization: str = "markovitz"
+    vid_res: Tuple[int, int] = (856, 480)
+    symm_range: bool = True
+    sub_mean: bool = True
+    scaler_center: Optional[np.ndarray] = None  # robust strategy
+    scaler_scale: Optional[np.ndarray] = None
+
+    @property
+    def num_windows(self) -> int:
+        return len(self.window_person)
+
+    def __len__(self) -> int:
+        return self.num_windows * max(self.num_transform, 1)
+
+
+def build_store(
+    clips: Sequence[Tuple[int, int, Sequence[PersonTrajectory]]],
+    seg_len: int = 12,
+    seg_stride: int = 1,
+    start_offset: int = 0,
+    kp18_format: bool = True,
+    headless: bool = False,
+    num_transform: int = 5,
+    normalization: str = "markovitz",
+    vid_res=(856, 480),
+    symm_range: bool = True,
+    sub_mean: bool = True,
+    scaler=None,
+) -> TrajectoryStore:
+    """[(scene, clip, trajectories)] -> TrajectoryStore.
+
+    Window validity follows the reference exactly (same enumeration as
+    windows.split_trajectory_to_windows); raw keypoints go to the device,
+    normalization happens in-jit.
+    """
+    persons: List[np.ndarray] = []
+    w_person, w_start, meta, fids = [], [], [], []
+    for scene_id, clip_id, trajectories in clips:
+        for tr in trajectories:
+            kp = tr.keypoints
+            if kp18_format and kp.shape[-2] == 17:
+                kp = keypoints17_to_coco18(kp)
+            if headless:
+                kp = kp[:, :14]
+            row = len(persons)
+            persons.append(kp.astype(np.float32))
+            clip_t = kp.shape[0]
+            keys = tr.frame_keys
+            num_segs = (
+                int(np.ceil((clip_t - seg_len) / seg_stride)) if clip_t > seg_len else 0
+            )
+            for seg_ind in range(max(num_segs, 0)):
+                start = start_offset + seg_ind * seg_stride
+                if start >= clip_t or start + seg_len > clip_t:
+                    continue
+                if not is_seg_continuous(keys, keys[start], seg_len):
+                    continue
+                w_person.append(row)
+                w_start.append(start)
+                meta.append([scene_id, clip_id, tr.person_id, keys[start]])
+                fids.append(keys[start : start + seg_len])
+    if not w_person:
+        raise ValueError("no valid windows")
+    f_max = max(p.shape[0] for p in persons)
+    v, f = persons[0].shape[1], persons[0].shape[2]
+    padded = np.zeros((len(persons), f_max, v, f), np.float32)
+    for i, p in enumerate(persons):
+        padded[i, : p.shape[0]] = p
+    return TrajectoryStore(
+        traj=jnp.asarray(padded),
+        window_person=np.asarray(w_person, np.int32),
+        window_start=np.asarray(w_start, np.int32),
+        meta=np.asarray(meta, np.int64),
+        frame_ids=np.asarray(fids, np.int32),
+        seg_len=seg_len,
+        num_transform=num_transform,
+        normalization=normalization,
+        vid_res=tuple(vid_res),
+        symm_range=symm_range,
+        sub_mean=sub_mean,
+        scaler_center=None if scaler is None else np.asarray(scaler.center),
+        scaler_scale=None if scaler is None else np.asarray(scaler.scale),
+    )
+
+
+def gather_windows(traj: jax.Array, person: jax.Array, start: jax.Array,
+                   seg_len: int) -> jax.Array:
+    """[P, F, V, 3] + per-window (person, start) -> [B, T, V, 3] (in-jit)."""
+    rows = start[:, None] + jnp.arange(seg_len)[None, :]  # [B, T]
+    return traj[person[:, None], rows]
+
+
+def normalize_windows_device(
+    win: jax.Array,
+    normalization: str,
+    vid_res,
+    symm_range: bool,
+    sub_mean: bool,
+    scaler_center=None,
+    scaler_scale=None,
+) -> jax.Array:
+    """In-jit equivalents of data/normalize.py over [B, T, V, 3] windows."""
+    norm = jnp.asarray(list(vid_res) + [1], jnp.float32)
+    out = win / norm
+    if symm_range:
+        out = out.at[..., :2].set(2 * out[..., :2] - 1)
+    if normalization == "markovitz":
+        if sub_mean:
+            mean = jnp.mean(out[..., :2], axis=(1, 2), keepdims=True)
+            out = out.at[..., :2].add(-mean)
+        return out
+    if normalization == "stan":
+        out = out - jnp.mean(out, axis=1, keepdims=True)
+        xy = out[..., :2]
+        smean = jnp.mean(xy, axis=(2, 3), keepdims=True)
+        std = jnp.sqrt(jnp.mean((xy - smean) ** 2, axis=(2, 3), keepdims=True) + 1e-5)
+        return out.at[..., :2].set(xy / std)
+    if normalization == "bbox":
+        # NB: the reference's ranges run over axis=-2 of the [..., T, V]
+        # coordinate slice — the TIME axis (per-joint temporal extent), not
+        # the joint axis (utils/dataset_utils.py:144-147).
+        w = out[..., 0].max(-2, keepdims=True) - out[..., 0].min(-2, keepdims=True)
+        h = out[..., 1].max(-2, keepdims=True) - out[..., 1].min(-2, keepdims=True)
+        out = out.at[..., 0].set(out[..., 0] / w)
+        out = out.at[..., 1].set(out[..., 1] / h)
+        return out
+    if normalization == "robust":
+        b, t, v, _ = out.shape
+        xy = out[..., :2].reshape(b, t, v * 2)
+        missing = xy == 0.0
+        center = jnp.asarray(scaler_center, jnp.float32).reshape(v * 2)
+        scale = jnp.asarray(scaler_scale, jnp.float32).reshape(v * 2)
+        scaled = jnp.where(missing, 0.0, (xy - center) / scale)
+        out = out.at[..., :2].set(scaled.reshape(b, t, v, 2))
+        return out.at[..., 2].set(1.0)
+    if normalization in (None, "none"):
+        return win
+    raise ValueError(f"Unsupported device normalization {normalization!r}")
+
+
+def gather_batch_from_store(
+    store: TrajectoryStore,
+    traj: jax.Array,
+    persons_dev: jax.Array,
+    starts_dev: jax.Array,
+    indices: jax.Array,
+    trans_table: jax.Array,
+    num_coords: int = 2,
+) -> jax.Array:
+    """Logical indices -> normalized, transformed [B, C, T, V] (fully in-jit).
+
+    `persons_dev` / `starts_dev` are the device copies of the window index
+    tables; `traj` the resident trajectory tensor.
+    """
+    n = persons_dev.shape[0]
+    sample_idx = indices % n
+    trans_idx = indices // n
+    win = gather_windows(
+        traj, persons_dev[sample_idx], starts_dev[sample_idx], store.seg_len
+    )
+    win = normalize_windows_device(
+        win, store.normalization, store.vid_res, store.symm_range,
+        store.sub_mean, store.scaler_center, store.scaler_scale,
+    )
+    pose = jnp.transpose(win, (0, 3, 1, 2))  # -> [B, 3, T, V]
+    mats = jnp.take(trans_table, trans_idx, axis=0)
+    return apply_transforms(pose, mats)[:, :num_coords]
+
+
+def to_segment_dataset_host(store: TrajectoryStore) -> SegmentDataset:
+    """Materialize the store on the host (for comparisons/tests)."""
+    traj = np.asarray(store.traj)
+    win = traj[store.window_person[:, None],
+               store.window_start[:, None] + np.arange(store.seg_len)[None, :]]
+    win = np.asarray(
+        normalize_windows_device(
+            jnp.asarray(win), store.normalization, store.vid_res,
+            store.symm_range, store.sub_mean, store.scaler_center,
+            store.scaler_scale,
+        )
+    )
+    return SegmentDataset(
+        data=np.transpose(win, (0, 3, 1, 2)).astype(np.float32),
+        meta=store.meta,
+        frame_ids=store.frame_ids,
+        num_transform=store.num_transform,
+    )

@@ -32,6 +32,7 @@ import numpy as np
 import optax
 
 from ..config import Config
+from ..data.device_pipeline import TrajectoryStore, gather_batch_from_store
 from ..data.transforms import canonical_transforms, gather_batch
 from ..data.windows import SegmentDataset
 from ..geometry import poincare as hyp
@@ -103,15 +104,17 @@ class Trainer:
         self._lr = cfg.opt.lr
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr)
 
-        # HBM-resident training windows, replicated over the mesh (read-only).
-        self.train_data = pmesh.device_put_replicated(
-            jnp.asarray(train_ds.data), self.mesh
-        )
-        self.val_data = (
-            pmesh.device_put_replicated(jnp.asarray(val_ds.data), self.mesh)
-            if val_ds is not None
-            else None
-        )
+        # HBM-resident training data, replicated over the mesh (read-only).
+        # Two pipelines: materialized windows (SegmentDataset) or the fused
+        # device-side preprocessing over whole trajectories (TrajectoryStore,
+        # data/device_pipeline.py — the BASELINE north star).
+        self._pipeline = "store" if isinstance(train_ds, TrajectoryStore) else "windows"
+        if val_ds is not None:
+            assert isinstance(val_ds, TrajectoryStore) == (self._pipeline == "store"), (
+                "train and validation datasets must use the same pipeline kind"
+            )
+        self.train_data = self._device_data(train_ds)
+        self.val_data = self._device_data(val_ds) if val_ds is not None else None
 
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
         # Multi-step variants: one dispatch per epoch via lax.scan. Remote
@@ -126,6 +129,16 @@ class Trainer:
         # permutation.
         self._shuffle_rng = np.random.default_rng(cfg.run.seed)
         self._epochs_done = 0
+
+    def _device_data(self, ds):
+        if isinstance(ds, TrajectoryStore):
+            return pmesh.device_put_replicated(
+                (ds.traj,
+                 jnp.asarray(ds.window_person),
+                 jnp.asarray(ds.window_start)),
+                self.mesh,
+            )
+        return pmesh.device_put_replicated(jnp.asarray(ds.data), self.mesh)
 
     # ------------------------------------------------------------ setup
 
@@ -172,6 +185,12 @@ class Trainer:
         return out, batch_stats
 
     def _gather(self, data, indices):
+        if self._pipeline == "store":
+            traj, persons, starts = data
+            return gather_batch_from_store(
+                self.train_ds, traj, persons, starts, indices,
+                self.trans_table, self.cfg.model.num_coords,
+            )
         return gather_batch(
             data, indices, self.trans_table, self.cfg.model.num_coords
         )

@@ -1,0 +1,136 @@
+"""Fused device-side preprocessing: exact agreement with the host loader and
+end-to-end training through the TrajectoryStore pipeline."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coskad_tpu.data import alphapose, device_pipeline, transforms
+from coskad_tpu.data.device_pipeline import (
+    TrajectoryStore,
+    build_store,
+    gather_batch_from_store,
+    to_segment_dataset_host,
+)
+
+
+def _clip_files(tmp_path, rng, n_clips=2, n_frames=60):
+    paths = []
+    for c in range(1, n_clips + 1):
+        clip = {}
+        for pid in ("1", "2"):
+            frames = {}
+            for f in range(int(pid), n_frames):
+                if pid == "2" and f % 19 == 0:
+                    continue  # gaps exercise the continuity rule
+                kp = rng.uniform(10, 800, size=(17, 3))
+                frames[f"{f:04d}"] = {"keypoints": kp.reshape(-1).tolist()}
+            clip[pid] = frames
+        p = tmp_path / f"01_{c:04d}_t.json"
+        p.write_text(json.dumps(clip))
+        paths.append((1, c, str(p)))
+    return paths
+
+
+@pytest.mark.parametrize("norm,kwargs", [
+    ("markovitz", dict(sub_mean=True)),
+    ("markovitz", dict(sub_mean=False)),
+    ("stan", {}),
+    ("bbox", {}),
+])
+def test_store_matches_host_loader(tmp_path, rng, norm, kwargs):
+    paths = _clip_files(tmp_path, rng)
+    host = alphapose.load_alphapose_split(
+        str(tmp_path), seg_len=12, seg_stride=4, kp18_format=True,
+        normalization_strategy=norm, vid_res=[856, 480],
+        sub_mean=kwargs.get("sub_mean", True),
+    )
+    clips = [
+        (s, c, alphapose.parse_clip_json(p)) for s, c, p in paths
+    ]
+    store = build_store(
+        clips, seg_len=12, seg_stride=4, kp18_format=True,
+        normalization=norm, vid_res=(856, 480),
+        sub_mean=kwargs.get("sub_mean", True),
+    )
+    assert store.num_windows == host.num_windows
+    np.testing.assert_allclose(store.meta, host.meta)
+    np.testing.assert_allclose(store.frame_ids, host.frame_ids)
+    materialized = to_segment_dataset_host(store)
+    # host path computes in float64, device in float32
+    np.testing.assert_allclose(materialized.data, host.data, rtol=1e-4, atol=5e-4)
+
+
+def test_store_robust_scaler_path(tmp_path, rng):
+    paths = _clip_files(tmp_path, rng)
+    host = alphapose.load_alphapose_split(
+        str(tmp_path), seg_len=12, seg_stride=4, kp18_format=False,
+        normalization_strategy="robust", vid_res=[856, 480],
+    )
+    clips = [(s, c, alphapose.parse_clip_json(p)) for s, c, p in paths]
+    store = build_store(
+        clips, seg_len=12, seg_stride=4, kp18_format=False,
+        normalization="robust", vid_res=(856, 480), scaler=host.scaler,
+    )
+    materialized = to_segment_dataset_host(store)
+    np.testing.assert_allclose(materialized.data, host.data, rtol=1e-4, atol=1e-6)
+
+
+def test_gather_batch_matches_windows_pipeline(tmp_path, rng):
+    """Fused store gather == windows-pipeline gather for the same logical
+    indices (incl. transform expansion)."""
+    from coskad_tpu.data.transforms import canonical_transforms, gather_batch
+
+    paths = _clip_files(tmp_path, rng)
+    host = alphapose.load_alphapose_split(
+        str(tmp_path), seg_len=12, seg_stride=4, normalization_strategy="markovitz",
+        vid_res=[856, 480],
+    )
+    clips = [(s, c, alphapose.parse_clip_json(p)) for s, c, p in paths]
+    store = build_store(clips, seg_len=12, seg_stride=4, vid_res=(856, 480))
+    table = jnp.asarray(canonical_transforms(5))
+    n = host.num_windows
+    idx = jnp.asarray(np.random.default_rng(0).permutation(n * 5)[:32])
+    ref = gather_batch(jnp.asarray(host.data), idx, table, 2)
+    ours = gather_batch_from_store(
+        store, store.traj, jnp.asarray(store.window_person),
+        jnp.asarray(store.window_start), idx, table, 2,
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-6)
+
+
+def test_train_through_store_pipeline(tmp_path, rng):
+    """End-to-end: Trainer fits and validates on the fused pipeline, and its
+    center init matches the windows pipeline."""
+    import dataclasses
+
+    from coskad_tpu.train.loop import Trainer
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import tiny_config
+
+    paths = _clip_files(tmp_path, rng, n_clips=1, n_frames=200)
+    host = alphapose.load_alphapose_split(
+        str(tmp_path), seg_len=6, seg_stride=2, kp18_format=False,
+        normalization_strategy="markovitz", vid_res=[856, 480], num_transform=2,
+    )
+    clips = [(s, c, alphapose.parse_clip_json(p)) for s, c, p in paths]
+    store = build_store(clips, seg_len=6, seg_stride=2, kp18_format=False,
+                        vid_res=(856, 480), num_transform=2)
+    cfg = tiny_config("euclidean_static", epochs=1)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, n_joints_override=17, seg_len=6)
+    )
+    tr_store = Trainer(cfg, store)
+    tr_win = Trainer(cfg, host)
+    s1 = tr_store.initialize_center(tr_store.init_state())
+    s2 = tr_win.initialize_center(tr_win.init_state())
+    np.testing.assert_allclose(
+        np.asarray(s1.center), np.asarray(s2.center), rtol=1e-4, atol=1e-5
+    )
+    state, history = tr_store.fit(state=s1, epochs=1)
+    assert np.isfinite(history["loss"]).all()
