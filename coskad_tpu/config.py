@@ -97,6 +97,12 @@ class OptConfig:
     warmup_epochs: int = 10  # VAE warmup
     center_tolerance: float = 0.001
     validation: bool = False
+    # Contrastive auxiliary loss (the reference's double_item /
+    # self_minimization capability, TPU-native: the second strongly-augmented
+    # view and the InfoNCE term compile into the train step). 0 disables.
+    contrastive_weight: float = 0.0
+    contrastive_tau: float = 0.2
+    contrastive_hyp_c: float = 0.0  # 0 = cosine logits; >0 hyperbolic
     # ReduceLROnPlateau settings used when validation is on
     plateau_factor: float = 0.2
     plateau_patience: int = 100
@@ -224,6 +230,8 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         gamma=get("gamma", 0.01),
         warmup_epochs=get("warmup_epochs", 10),
         center_tolerance=get("center_tolerance", 0.001),
+        contrastive_weight=get("contrastive_weight",
+                               0.1 if get("dataset_double_item", False) else 0.0),
         validation=get("validation", False),
     )
     ev = EvalConfig(

@@ -209,6 +209,25 @@ class Trainer:
                 self.cfg, out, batch, params, state.center, state.inv_cov
             )
             z = objectives.latent_of(self.cfg.model.variant, out)
+            if self.cfg.opt.contrastive_weight > 0:
+                # Second, strongly-augmented view + InfoNCE (the reference's
+                # double_item capability, fully in-jit).
+                from ..data.augment_device import strong_augment
+                from ..geometry.poincare import contrastive_loss
+
+                k_aug, k_fwd = jax.random.split(jax.random.fold_in(step_rng, 1))
+                batch2 = strong_augment(batch, k_aug)
+                out2, new_bs = self._forward(
+                    params, new_bs, batch2, train=True, rng=k_fwd
+                )
+                z2 = objectives.latent_of(self.cfg.model.variant, out2)
+                l_con, _ = contrastive_loss(
+                    z, z, z2, tau=self.cfg.opt.contrastive_tau,
+                    hyp_c=self.cfg.opt.contrastive_hyp_c,
+                )
+                loss = loss + self.cfg.opt.contrastive_weight * l_con
+                metrics["contrastive_loss"] = l_con
+                metrics["loss"] = loss
             return loss, (metrics, new_bs, z)
 
         (loss, (metrics, new_bs, z)), grads = jax.value_and_grad(
