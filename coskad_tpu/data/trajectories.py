@@ -66,13 +66,30 @@ class Trajectory:
 
     # ------------------------------------------------- feature extraction
 
-    def global_features(self, video_resolution) -> np.ndarray:
-        """[T, 4]: bbox centre (x, y) + bbox (width, height) per frame."""
-        out = np.zeros((len(self.coordinates), 4), dtype=np.float32)
+    def global_features(
+        self, video_resolution, extract_delta: bool = False,
+        use_first_step_as_reference: bool = False,
+    ) -> np.ndarray:
+        """[T, 4(+2)]: bbox centre (x, y) + bbox (width, height) per frame;
+        optional per-step centre deltas and first-step-relative centres
+        (reference utils/data.py:70-87)."""
+        n = len(self.coordinates)
+        centre = np.zeros((n, 2), dtype=np.float32)
+        size = np.zeros((n, 2), dtype=np.float32)
         for i, kps in enumerate(self.coordinates):
             left, right, top, bottom = compute_bounding_box(kps, video_resolution)
-            out[i] = [(left + right) / 2, (top + bottom) / 2, right - left, bottom - top]
-        return out
+            centre[i] = [(left + right) / 2, (top + bottom) / 2]
+            size[i] = [right - left, bottom - top]
+        delta = None
+        if extract_delta:
+            delta = np.vstack([np.full((1, 2), 1e-7, np.float32),
+                               np.diff(centre, axis=0)])
+        if use_first_step_as_reference:
+            centre = centre - centre[0]
+            centre[0] += 1e-6
+        if extract_delta:
+            return np.hstack([centre, delta, size])
+        return np.hstack([centre, size])
 
     def size_features(self, video_resolution) -> np.ndarray:
         return self.global_features(video_resolution)[:, 2:]
@@ -341,3 +358,31 @@ def assemble_ground_truth_and_reconstructions(
         vids.extend([vid] * len(y_true[vid]))
     out = (np.concatenate(ys), np.concatenate(hats))
     return (*out, vids) if return_video_ids else out
+
+
+def split_into_train_and_test(trajectories, train_ratio: float = 0.8, seed: int = 42):
+    """Length-quartile-stratified random split (reference utils/data.py:
+    265-293, incl. its legacy-np.random seeding for reproducibility)."""
+    np.random.seed(seed)
+    ids = list(trajectories.keys())
+    lengths = [len(trajectories[t]) for t in ids]
+    order = np.argsort(lengths)
+    q1, q2, q3 = (round(len(order) * q) for q in (0.25, 0.5, 0.75))
+    sorted_ids = np.array(ids)[order]
+    train_ids, val_ids = [], []
+    bounds = [0, q1, q2, q3, len(order)]
+    for i in range(1, len(bounds)):
+        q_ids = np.random.permutation(sorted_ids[bounds[i - 1] : bounds[i]])
+        k = round(len(q_ids) * train_ratio)
+        train_ids.extend(q_ids[:k])
+        val_ids.extend(q_ids[k:])
+    train = OrderedDict((t, trajectories[t]) for t in train_ids)
+    val = OrderedDict((t, trajectories[t]) for t in val_ids)
+    return train, val
+
+
+def remove_missing_skeletons(x: np.ndarray, *arrs):
+    """Drop rows whose keypoints are entirely missing (reference
+    utils/data.py:406-414)."""
+    keep = np.sum(np.abs(x), axis=1) > 0.0
+    return x[keep], [a[keep] for a in arrs]

@@ -49,6 +49,13 @@ def is_seg_continuous(
     return len(expected.intersection(actual)) >= seg_len - missing_th
 
 
+def is_person_dict_continuous(frame_keys: Sequence[int]) -> bool:
+    """Whole-trajectory continuity check (reference utils/dataset_utils.py:
+    202-210): at most 2 frames missing over the person's full span."""
+    keys = sorted(int(k) for k in frame_keys)
+    return is_seg_continuous(keys, keys[0], len(keys))
+
+
 @dataclass
 class PersonTrajectory:
     """One tracked person's keypoints within one clip."""

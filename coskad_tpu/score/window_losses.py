@@ -84,3 +84,11 @@ def extract_single_pose(
         s = (s - lo) / (hi - lo) if hi > lo else np.zeros_like(s)
         return single, s
     return single, np.array([])
+
+
+def calculate_loss(x: np.ndarray, target: np.ndarray, to_pow: bool = False) -> np.ndarray:
+    """Per-row MSE, optionally raised to the 4th power (reference
+    utils/eval_utils.py:174-188's sharpening option)."""
+    loss = np.mean((np.asarray(target, np.float64) - np.asarray(x, np.float64)) ** 2,
+                   axis=-1)
+    return loss**4 if to_pow else loss

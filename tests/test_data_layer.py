@@ -202,3 +202,19 @@ def test_load_alphapose_split(tmp_path, rng):
     assert len(ds) == ds.num_windows * 5
     assert ds.means.shape == (ds.num_windows, 2)
     assert set(np.unique(ds.meta[:, 1])) == {1, 2}
+
+
+def test_is_person_dict_continuous():
+    from coskad_tpu.data.windows import is_person_dict_continuous
+
+    assert is_person_dict_continuous([1, 2, 3, 5, 6])  # 1 missing over span 5
+    assert not is_person_dict_continuous([1, 2, 10, 11, 12])
+
+
+def test_calculate_loss_pow4():
+    from coskad_tpu.score.window_losses import calculate_loss
+
+    x = np.array([[1.0, 1.0], [2.0, 2.0]])
+    t = np.zeros_like(x)
+    np.testing.assert_allclose(calculate_loss(x, t), [1.0, 4.0])
+    np.testing.assert_allclose(calculate_loss(x, t, to_pow=True), [1.0, 256.0])

@@ -162,3 +162,45 @@ def test_load_robust_split_shapes(tmp_path):
     assert len(ds) == ds.num_windows * 5
     # conf channel is all ones
     np.testing.assert_allclose(ds.data[:, 2], 1.0)
+
+
+def test_global_features_delta_and_reference_frame(rng):
+    ref_data, _ = _reference_data_mod()
+    res = np.array([856.0, 480.0], np.float32)
+    coords = rng.uniform(10, 800, size=(15, 34)).astype(np.float32)
+    for kwargs in (dict(extract_delta=True),
+                   dict(use_first_step_as_reference=True),
+                   dict(extract_delta=True, use_first_step_as_reference=True)):
+        ref_tr = ref_data.Trajectory("1-1_0001", np.arange(15), coords.copy())
+        ref_tr.use_global_features(res, **kwargs)
+        ours = tj.Trajectory("1-1_0001", np.arange(15), coords.copy())
+        np.testing.assert_allclose(
+            ours.global_features(res, **kwargs), ref_tr.coordinates,
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_split_into_train_and_test_matches_reference(rng):
+    ref_data, _ = _reference_data_mod()
+    trajs = {}
+    for i in range(40):
+        n = int(rng.integers(5, 60))
+        trajs[f"1-{i}_0001"] = tj.Trajectory(
+            f"1-{i}_0001", np.arange(n), rng.normal(size=(n, 34)).astype(np.float32)
+        )
+    ref_trajs = {
+        k: ref_data.Trajectory(k, v.frames.copy(), v.coordinates.copy())
+        for k, v in trajs.items()
+    }
+    ours_train, ours_val = tj.split_into_train_and_test(trajs, 0.8, seed=42)
+    ref_train, ref_val = ref_data.split_into_train_and_test(ref_trajs, 0.8, seed=42)
+    assert list(ours_train.keys()) == list(ref_train.keys())
+    assert list(ours_val.keys()) == list(ref_val.keys())
+
+
+def test_remove_missing_skeletons():
+    x = np.array([[1.0, 2.0], [0.0, 0.0], [3.0, 0.0]])
+    ids = np.array([10, 20, 30])
+    out, (kept_ids,) = tj.remove_missing_skeletons(x, ids)
+    np.testing.assert_allclose(out, [[1.0, 2.0], [3.0, 0.0]])
+    np.testing.assert_allclose(kept_ids, [10, 30])
