@@ -1,0 +1,162 @@
+"""Serving API: load a checkpoint once, score pose streams forever.
+
+The reference has no inference path besides re-running its eval script; this
+module is the production-facing entry point the brief calls for:
+
+    scorer = AnomalyScorer.from_checkpoint("exp/UBnormal/run/best.ckpt")
+    scores = scorer.score_windows(windows)         # [B] anomaly scores
+    frames = scorer.score_clip_json("01_0014.json")  # per-frame scores
+
+Scoring is a single jitted program (embed + geometry distance) with
+fixed-size batching and tail padding; clip scoring reuses the exact
+aggregation pipeline of offline eval (actor-max, shift + Gaussian smoothing),
+minus ground truth.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .data.alphapose import parse_clip_json
+from .data.normalize import normalize
+from .data.transforms import canonical_transforms
+from .data.windows import SegmentDataset, keypoints17_to_coco18, segment_clip
+from .score.frames import actor_frame_scores
+from .score.smoothing import score_process
+from .train import checkpoint
+from .train.loop import Trainer
+
+
+def config_from_snapshot(path: str) -> Config:
+    """Rebuild a Config from the '<ckpt>.config.json' snapshot that
+    train/checkpoint.py writes beside every checkpoint."""
+    from .config import DataConfig, EvalConfig, ModelConfig, OptConfig, RunConfig
+
+    with open(path) as f:
+        raw = json.load(f)
+
+    def build(cls, section):
+        fields = {f.name for f in cls.__dataclass_fields__.values()}
+        kwargs = {}
+        for k, v in section.items():
+            if k not in fields:
+                continue
+            kwargs[k] = tuple(v) if isinstance(v, list) else v
+        return cls(**kwargs)
+
+    return Config(
+        model=build(ModelConfig, raw["model"]),
+        data=build(DataConfig, raw["data"]),
+        opt=build(OptConfig, raw["opt"]),
+        eval=build(EvalConfig, raw["eval"]),
+        run=build(RunConfig, raw["run"]),
+    )
+
+
+class AnomalyScorer:
+    """Checkpoint-backed scorer for one trained COSKAD variant."""
+
+    def __init__(self, cfg: Config, state, trainer: Optional[Trainer] = None):
+        self.cfg = cfg
+        # A Trainer gives us the jitted embed/score machinery; feed it a
+        # minimal placeholder dataset (replaced per scoring call).
+        if trainer is None:
+            dummy = SegmentDataset(
+                data=np.zeros(
+                    (1, cfg.model.num_coords + 1, cfg.data.seg_len, cfg.data.n_joints),
+                    np.float32,
+                ),
+                meta=np.zeros((1, 4), np.int64),
+                frame_ids=np.zeros((1, cfg.data.seg_len), np.int32),
+                num_transform=cfg.data.num_transform,
+            )
+            trainer = Trainer(cfg, dummy)
+        self.trainer = trainer
+        self.state = state
+
+    # ------------------------------------------------------------ loading
+
+    @classmethod
+    def from_checkpoint(
+        cls, ckpt_path: str, cfg: Optional[Config] = None
+    ) -> "AnomalyScorer":
+        if cfg is None:
+            cfg = config_from_snapshot(ckpt_path + ".config.json")
+        tmp = cls(cfg, None)
+        template = tmp.trainer.init_state()
+        state, scaler, _ = checkpoint.restore(ckpt_path, template)
+        tmp.state = state
+        tmp.scaler = scaler
+        return tmp
+
+    # ------------------------------------------------------------ scoring
+
+    def score_windows(self, windows: np.ndarray) -> np.ndarray:
+        """[B, C, T, V] normalized windows -> [B] anomaly scores in the
+        variant's geometry (higher = more anomalous)."""
+        ds = SegmentDataset(
+            data=np.asarray(windows, np.float32),
+            meta=np.zeros((len(windows), 4), np.int64),
+            frame_ids=np.zeros((len(windows), self.cfg.data.seg_len), np.int32),
+            num_transform=1,
+        )
+        data = self.trainer._device_data(ds)
+        z = self.trainer.embed_all(self.state, ds, data)
+        return np.asarray(
+            self.trainer._score_fn(
+                jnp.asarray(z), self.state.center, self.state.inv_cov,
+                self.state.mean_vector,
+            )
+        )
+
+    def score_clip_json(
+        self, path: str, n_frames: Optional[int] = None, smooth: bool = True
+    ) -> np.ndarray:
+        """AlphaPose clip JSON -> per-frame anomaly scores.
+
+        Applies the training normalization, windows each tracked person at
+        stride 1, scores all windows, scatters to frames (mean per actor,
+        max over actors) and optionally applies the shift+smooth
+        post-processing — the same pipeline as offline eval without GT.
+        """
+        d = self.cfg.data
+        trajectories = parse_clip_json(path, d.kp_threshold)
+        data, meta, ids = segment_clip(trajectories, 0, 0, d.start_offset, 1, d.seg_len)
+        if d.kp18_format and data.shape[-2] == 17:
+            data = keypoints17_to_coco18(data)
+        if d.headless:
+            data = data[:, :, :14]
+        if d.normalize_pose:
+            if d.normalization_strategy == "robust":
+                from .data.normalize import normalize_robust
+
+                data, _ = normalize_robust(
+                    data, vid_res=d.vid_res, symm_range=d.symm_range,
+                    scaler=getattr(self, "scaler", None),
+                )
+            else:
+                data, _ = normalize(
+                    data, d.normalization_strategy, vid_res=d.vid_res,
+                    symm_range=d.symm_range, sub_mean=d.sub_mean,
+                )
+        windows = np.transpose(data, (0, 3, 1, 2)).astype(np.float32)
+        scores = self.score_windows(windows)
+
+        meta = np.asarray(meta)
+        ids = np.asarray(ids)
+        if n_frames is None:
+            n_frames = int(ids.max())
+        actors = np.unique(meta[:, 2])
+        dense = np.searchsorted(actors, meta[:, 2])
+        per_actor = actor_frame_scores(scores, dense, ids, n_frames, len(actors))
+        clip_score = per_actor.max(axis=0)
+        if smooth:
+            clip_score = score_process(clip_score)
+        return clip_score
