@@ -92,3 +92,27 @@ def device_put_batch(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree
     )
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (DCN) for multi-slice / multi-host runs.
+
+    The single-slice path needs nothing: the mesh code above is host-count
+    agnostic and XLA routes the 'data'-axis collectives over ICI. Across
+    hosts/slices, call this once per process before creating the mesh — it
+    wraps jax.distributed.initialize, which wires the DCN coordinator and
+    makes jax.devices() global (SURVEY.md section 2.8's multi-host note).
+    Arguments default to the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID environment variables (or TPU metadata on Cloud TPU).
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
