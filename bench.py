@@ -89,8 +89,9 @@ def measure_tpu() -> float:
     score_chunks_warm = idx_chunks(k_score)
     state, m = trainer._train_epoch(state, trainer.train_data, chunks)
     jax.block_until_ready(m["loss"])
-    z = trainer._embed_many(state.params, state.batch_stats, trainer.train_data,
-                            score_chunks_warm, state.rng)
+    z, _rec = trainer._embed_many(state.params, state.batch_stats,
+                                  trainer.train_data, score_chunks_warm,
+                                  state.rng)
     warm_scores = trainer._score_fn(z.reshape(BATCH * k_score, -1), state.center,
                                     state.inv_cov, state.mean_vector)
     jax.block_until_ready(warm_scores)
@@ -104,8 +105,8 @@ def measure_tpu() -> float:
     n_score = BATCH * k_score
     score_chunks = idx_chunks(k_score)
     t0 = time.perf_counter()
-    zs = trainer._embed_many(state.params, state.batch_stats,
-                             trainer.train_data, score_chunks, state.rng)
+    zs, _recs = trainer._embed_many(state.params, state.batch_stats,
+                                    trainer.train_data, score_chunks, state.rng)
     scores = trainer._score_fn(zs.reshape(n_score, -1), state.center,
                                state.inv_cov, state.mean_vector)
     jax.block_until_ready(scores)
