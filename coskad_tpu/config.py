@@ -234,11 +234,21 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
                                0.1 if get("dataset_double_item", False) else 0.0),
         validation=get("validation", False),
     )
+    # HR-UBnormal boolean masks: the reference hardcodes
+    # '<...>/UBnormal/hr_bool_masks/<split>/test_frame_mask/*'
+    # (eval_COSKAD.py:92-99); derive the same layout from data_dir.
+    hr_glob = get("hr_masks_glob", "")
+    if not hr_glob and get("use_hr", False) and data_dir:
+        hr_split = "testing" if "test" in get("split", "train") else "validating"
+        hr_glob = os.path.join(
+            data_dir, "hr_bool_masks", hr_split, "test_frame_mask", "*"
+        )
     ev = EvalConfig(
         pad_size=get("pad_size", -1),
         smoothing=get("smoothing", 50),
         split=get("split", "train"),
         use_hr=get("use_hr", False),
+        hr_masks_glob=hr_glob,
         load_ckpt=get("load_ckpt", ""),
     )
     run = RunConfig(

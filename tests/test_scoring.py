@@ -194,3 +194,24 @@ def test_evaluate_windows_anomaly_detected():
     assert res.auc > 0.9
     assert len(res.per_transform_auc) == num_t
     assert res.scores.shape == (n_frames,)
+
+
+def test_hr_ubnormal_mask_loading(tmp_path):
+    from coskad_tpu.score.masks import hr_ubnormal
+
+    np.save(tmp_path / "3_7.npy", np.array([1, 0, 1], dtype=np.uint8))
+    np.save(tmp_path / "12_4.npy", np.array([0, 0], dtype=np.uint8))
+    masks = hr_ubnormal(str(tmp_path / "*"))
+    assert set(masks) == {(3, 7), (12, 4)}
+    assert masks[(3, 7)].dtype == bool
+    np.testing.assert_array_equal(masks[(3, 7)], [True, False, True])
+
+
+def test_hr_glob_derived_from_reference_yaml():
+    from coskad_tpu.config import from_reference_dict
+
+    cfg = from_reference_dict({
+        "use_hr": True, "split": "test", "data_dir": "/data/UBnormal",
+    })
+    assert cfg.eval.hr_masks_glob == \
+        "/data/UBnormal/hr_bool_masks/testing/test_frame_mask/*"

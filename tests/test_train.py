@@ -148,3 +148,21 @@ def test_sharded_train_step_matches_single_device():
     flat1 = jax.tree_util.tree_leaves(outs["m1"][0])
     for a, b in zip(flat8, flat1):
         np.testing.assert_allclose(a, b, atol=2.1e-3)
+
+
+def test_projector_kernel_model_sharded_on_tp_mesh():
+    """With model_parallel > 1, the wide projector kernels carry the 'model'
+    axis in their sharding spec (tensor parallelism layout)."""
+    from coskad_tpu.parallel import create_mesh
+    from coskad_tpu.parallel.mesh import shard_params
+
+    mesh = create_mesh(data_parallel=4, model_parallel=2)
+    trainer, _ = _make_trainer("euclidean_static", mesh=mesh)
+    state = trainer.init_state()
+    specs = shard_params(state.params, mesh)
+    btlnk = specs["btlnk"]["kernel"].spec
+    assert "model" in str(btlnk)
+    gcn = specs["encoder"]["layer_0"]["gcn"]["t_adj"].spec
+    assert "model" not in str(gcn)  # tiny params stay replicated
+    # and the state actually lives with those shardings
+    assert "model" in str(state.params["btlnk"]["kernel"].sharding.spec)
