@@ -69,6 +69,7 @@ def main(argv=None):
     trainer = Trainer(cfg, test_ds)  # reuses embed/score jit machinery
     state = trainer.init_state()
     state, _, extra = checkpoint.restore(ckpt_path, state)
+    state = trainer.attach_state(state)
     print(f"[coskad] restored {ckpt_path} {extra}")
 
     z, rec = trainer.embed_all(state, test_ds, trainer.train_data, return_rec=True)

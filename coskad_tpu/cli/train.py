@@ -56,6 +56,7 @@ def main(argv=None):
     resume_path = os.path.join(ckpt_dir, "last.ckpt")
     if args.resume and os.path.exists(resume_path):
         state, _, extra = checkpoint.restore(resume_path, state)
+        state = trainer.attach_state(state)
         start_epoch = int(extra.get("epoch", -1)) + 1
         best_auc = float(extra.get("best_auc", -1.0))
         print(f"[coskad] resumed from {resume_path} at epoch {start_epoch}")

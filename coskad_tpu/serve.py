@@ -92,7 +92,7 @@ class AnomalyScorer:
         tmp = cls(cfg, None)
         template = tmp.trainer.init_state()
         state, scaler, _ = checkpoint.restore(ckpt_path, template)
-        tmp.state = state
+        tmp.state = tmp.trainer.attach_state(state)
         tmp.scaler = scaler
         return tmp
 

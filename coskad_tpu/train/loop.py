@@ -168,6 +168,15 @@ class Trainer:
         )
         return rest.replace(params=params)
 
+    def attach_state(self, state: TrainState) -> TrainState:
+        """Re-lay a (restored) state onto the mesh. Checkpoint restore
+        produces host numpy leaves; feeding them to the jitted programs
+        directly would compile a second specialization for the unsharded
+        layout."""
+        params = pmesh.device_put_params(state.params, self.mesh)
+        rest = pmesh.device_put_replicated(state.replace(params=None), self.mesh)
+        return rest.replace(params=params)
+
     # ------------------------------------------------------------ jit bodies
 
     def _forward(self, params, batch_stats, batch, train: bool, rng=None):
@@ -343,12 +352,17 @@ class Trainer:
         else:
             c = jnp.asarray(z.mean(axis=0, dtype=np.float64), jnp.float32)
             c = clamp_center(c, self.cfg.opt.center_tolerance)
-        state = state.replace(center=c)
+        # Install with the mesh sharding: a center without it would silently
+        # recompile the whole epoch program on its next call (the jit sees a
+        # different input layout).
+        state = state.replace(center=pmesh.device_put_replicated(c, self.mesh))
         if self.cfg.model.distance == "mahalanobis":
             d = z - np.asarray(c)
             cov = (d.T @ d) / (len(z) - 1)
             state = state.replace(
-                inv_cov=jnp.asarray(np.linalg.inv(cov), jnp.float32)
+                inv_cov=pmesh.device_put_replicated(
+                    jnp.asarray(np.linalg.inv(cov), jnp.float32), self.mesh
+                )
             )
         return state
 
