@@ -183,8 +183,11 @@ class Trainer:
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = {"train": train}
         rngs = {}
+        base = rng if rng is not None else jax.random.PRNGKey(0)
         if self.cfg.model.use_vae:
-            rngs["sample"] = rng if rng is not None else jax.random.PRNGKey(0)
+            rngs["sample"] = base
+        if train and self.cfg.model.dropout > 0:
+            rngs["dropout"] = jax.random.fold_in(base, 0x60)
         if train:
             out, mutated = self.model.apply(
                 variables, batch, mutable=["batch_stats"], rngs=rngs, **kwargs

@@ -166,3 +166,27 @@ def test_projector_kernel_model_sharded_on_tp_mesh():
     assert "model" not in str(gcn)  # tiny params stay replicated
     # and the state actually lives with those shardings
     assert "model" in str(state.params["btlnk"]["kernel"].sharding.spec)
+
+
+def test_dropout_training_path():
+    """dropout > 0 needs the 'dropout' RNG collection threaded through the
+    jitted step (all reference configs use 0, but it's a config knob)."""
+    cfg = tiny_config("euclidean_static", epochs=1)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dropout=0.3)
+    )
+    train_ds, _ = synthetic_segments(seed=0, stride=2)
+    trainer = Trainer(cfg, train_ds)
+    state, history = trainer.fit()
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_dropout_vae_training_path():
+    cfg = tiny_config("vae", epochs=1)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dropout=0.2)
+    )
+    train_ds, _ = synthetic_segments(seed=0, stride=2)
+    trainer = Trainer(cfg, train_ds)
+    state, history = trainer.fit()
+    assert np.isfinite(history["loss"]).all()
