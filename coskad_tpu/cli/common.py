@@ -36,6 +36,7 @@ def load_split(
             headless=d.headless,
             num_transform=d.num_transform,
             num_clips_debug=d.num_clips,
+            scaler=scaler,
         )
     pose_dir = d.pose_dirs.get(split)
     if not pose_dir or not os.path.isdir(pose_dir):

@@ -43,7 +43,15 @@ def main(argv=None):
           f"(x{cfg.data.num_transform} transforms)")
     val_ds, gts = None, {}
     if cfg.opt.validation:
-        val_ds = load_split(cfg, "test", stride=1, scaler=train_ds.scaler)
+        # Reference protocol (utils/argparser.py:14-27): UBnormal validates
+        # on the 'validating' split with validating masks; the other
+        # datasets deliberately validate on the test split. The config
+        # loader derives pose_dirs['validation'] and gt_dir accordingly.
+        val_split = "validation" if cfg.data.pose_dirs.get("validation") or (
+            cfg.data.normalization_strategy == "robust"
+            and cfg.data.dataset_choice == "UBnormal"
+        ) else "test"
+        val_ds = load_split(cfg, val_split, stride=1, scaler=train_ds.scaler)
         gts = load_ground_truths(cfg.data.gt_dir)
         print(f"[coskad] val windows: {val_ds.num_windows}, clips: {len(gts)}")
 

@@ -146,14 +146,14 @@ class Config:
 
 
 def _variant_from_flags(raw: Dict[str, Any]) -> str:
-    """The reference's dispatch order: decoder > hyperbolic > vae > center
-    (train_COSKAD.py:36-55)."""
+    """The reference's train dispatch order: decoder > vae > hyperbolic >
+    center (train_COSKAD.py:36-55)."""
     if raw.get("use_decoder"):
         return "autoencoder"
-    if raw.get("hyperbolic"):
-        return "hyperbolic"
     if raw.get("use_vae"):
         return "vae"
+    if raw.get("hyperbolic"):
+        return "hyperbolic"
     return "euclidean_static" if raw.get("static_center", True) else "euclidean_dynamic"
 
 
@@ -193,17 +193,32 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
 
     data_dir = get("data_dir", "")
     pose_dirs = {}
+    gt_dir = get("gt_path", get("test_path", ""))
     if data_dir:
-        # Reference path layout (utils/argparser.py:16-34)
+        # Reference path layout (utils/argparser.py:16-34): gt defaults to
+        # test_path; with validation on, UBnormal validates on the
+        # 'validating' split with validating masks while the other datasets
+        # deliberately validate on the test split.
         pose_dirs = {
             "train": os.path.join(data_dir, "pose", "training"),
             "test": os.path.join(data_dir, "pose", "testing"),
+            "validation": os.path.join(data_dir, "pose", "validating"),
         }
+        if get("validation", False):
+            if get("dataset_choice", "UBnormal") == "UBnormal":
+                derived = os.path.join(data_dir, "validating", "test_frame_mask")
+            else:
+                pose_dirs["validation"] = pose_dirs["test"]
+                derived = os.path.join(data_dir, "testing", "test_frame_mask")
+            # only override an explicit gt_path when the reference-layout
+            # directory actually exists (custom layouts keep their own)
+            if os.path.isdir(derived) or not gt_dir:
+                gt_dir = derived
     data = DataConfig(
         dataset_choice=get("dataset_choice", "UBnormal"),
         pose_dirs=pose_dirs,
         path_to_robust=get("dataset_path_to_robust", ""),
-        gt_dir=get("gt_path", get("test_path", "")),
+        gt_dir=gt_dir,
         seg_len=get("dataset_seg_len", 12),
         seg_stride=get("dataset_seg_stride", 8),
         start_offset=get("dataset_start_offset", 0),
@@ -220,7 +235,14 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         num_clips=5 if get("debug", False) else None,
         use_fitted_scaler=get("dataset_use_fitted_scaler", False),
     )
+    # ReduceLROnPlateau patience differs per variant in the reference:
+    # static/hyperbolic use 100, dynamic/autoencoder/VAE use 2
+    # (euclidean_encoder_staticCenter.py:214, hyperbolic_encoder.py:206 vs
+    # euclidean_encoder_dynamicCenter.py:158, euclidean_autoencoder.py:142,
+    # spherical_vae.py:148).
+    patience = 100 if model.variant in ("euclidean_static", "hyperbolic") else 2
     opt = OptConfig(
+        plateau_patience=patience,
         lr=get("opt_lr", 1e-4),
         epochs=get("ae_epochs", 100),
         alpha=get("alpha", 1e-6),

@@ -78,18 +78,19 @@ def parse_clip_json_native(
         raw = f.read()
     persons = mod.parse_clip(raw)
 
-    # Group buffers per person id (a person may appear once; its value may
-    # have been a list of dicts, already concatenated in file order by C++).
+    # Group buffers per person id. A duplicate TOP-LEVEL person key must
+    # follow json.load semantics (the last occurrence wins entirely), while
+    # the list-of-dicts form (already concatenated in file order by C++)
+    # merges frames with later duplicates winning (dict.update).
     by_id = {}
     for pid, keys, kp_bytes, off_bytes, cnt_bytes in persons:
         kps = np.frombuffer(kp_bytes, dtype=np.float64)
         offsets = np.frombuffer(off_bytes, dtype=np.uint64)
         counts = np.frombuffer(cnt_bytes, dtype=np.uint64)
-        entry = by_id.setdefault(pid, {})
+        entry = {}
         for key, off, cnt in zip(keys, offsets, counts):
-            # dict.update semantics of the reference's list-merge: later
-            # duplicate frame keys overwrite earlier ones
             entry[key] = kps[int(off) : int(off) + int(cnt)]
+        by_id[pid] = entry  # replace: last duplicate top-level key wins
 
     trajectories = []
     for pid in sorted(by_id.keys(), key=lambda x: int(x)):

@@ -50,6 +50,7 @@ def robust_windows(
     normalize_pose: bool = True,
     include_global: bool = False,
     debug: bool = False,
+    scaler=None,
 ):
     """-> ((X_global, meta) | (None, None), (X_local, (meta, frame_ids))).
 
@@ -102,7 +103,11 @@ def robust_windows(
     x_local, lmeta, lids = aggregate_windows(trajectories, seg_len, input_gap)
     if normalize_pose:
         scaler_path = os.path.join(exp_dir, f"local_{normalization_strategy}.pickle")
-        if split == "train":
+        if scaler is not None:
+            # e.g. restored from a checkpoint (cli/eval.py) — takes priority
+            # over the exp_dir pickle files.
+            lscaler = scaler
+        elif split == "train":
             _, lscaler = scale_trajectories(
                 aggregate_all_coordinates(trajectories),
                 strategy=normalization_strategy,
@@ -132,6 +137,7 @@ def load_robust_split(
     num_transform: int = 5,
     debug: bool = False,
     num_clips_debug: Optional[int] = None,
+    scaler=None,
 ) -> SegmentDataset:
     """Robust pipeline -> SegmentDataset (reference PoseDatasetRobust
     .gen_dataset, utils/dataset.py:229-279)."""
@@ -146,6 +152,7 @@ def load_robust_split(
         normalize_pose=normalize_pose,
         include_global=include_global,
         debug=debug or (num_clips_debug is not None),
+        scaler=scaler,
     )
     n, t, d = x_local.shape
     v = d // 2
@@ -165,9 +172,18 @@ def load_robust_split(
     if headless:
         segs = segs[:, :, :14]
 
+    fitted = scaler
+    if fitted is None and normalize_pose:
+        try:
+            fitted = load_scaler(
+                os.path.join(exp_dir, f"local_{normalization_strategy}.pickle")
+            )
+        except FileNotFoundError:
+            fitted = None
     return SegmentDataset(
         data=np.transpose(segs, (0, 3, 1, 2)).astype(np.float32),
         meta=np.asarray(meta, dtype=np.int64),
         frame_ids=np.asarray(ids, dtype=np.int32),
         num_transform=num_transform,
+        scaler=fitted,
     )

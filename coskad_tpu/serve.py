@@ -100,11 +100,20 @@ class AnomalyScorer:
 
     def score_windows(self, windows: np.ndarray) -> np.ndarray:
         """[B, C, T, V] normalized windows -> [B] anomaly scores in the
-        variant's geometry (higher = more anomalous)."""
+        variant's geometry (higher = more anomalous).
+
+        Windows are zero-padded to a whole number of batches so every call
+        reuses one compiled program per bucket size instead of recompiling
+        for each distinct clip length."""
+        n = len(windows)
+        bs = self.cfg.data.batch_size
+        bucket = max(bs * ((n + bs - 1) // bs), bs)
+        padded = np.zeros((bucket, *np.shape(windows)[1:]), np.float32)
+        padded[:n] = windows
         ds = SegmentDataset(
-            data=np.asarray(windows, np.float32),
-            meta=np.zeros((len(windows), 4), np.int64),
-            frame_ids=np.zeros((len(windows), self.cfg.data.seg_len), np.int32),
+            data=padded,
+            meta=np.zeros((bucket, 4), np.int64),
+            frame_ids=np.zeros((bucket, self.cfg.data.seg_len), np.int32),
             num_transform=1,
         )
         data = self.trainer._device_data(ds)
@@ -114,7 +123,7 @@ class AnomalyScorer:
                 jnp.asarray(z), self.state.center, self.state.inv_cov,
                 self.state.mean_vector,
             )
-        )
+        )[:n]
 
     def score_clip_json(
         self, path: str, n_frames: Optional[int] = None, smooth: bool = True

@@ -441,7 +441,10 @@ class Trainer:
             state = self.init_state()
             state = self.initialize_center(state)
         n = len(self.train_ds)
-        bs = self.batch_size
+        # A logical dataset smaller than one batch still trains: shrink the
+        # step batch to the dataset (the reference's loader would emit one
+        # short batch; we need a fixed shape for jit).
+        bs = min(self.batch_size, n)
         steps_per_epoch = max(n // bs, 1)
         history = {"validation_auc": [], "loss": []}
         best_auc, since_best = -np.inf, 0
@@ -483,11 +486,23 @@ class Trainer:
                 else:
                     since_best += 1
                     if since_best > cfg.opt.plateau_patience:
-                        self._lr = max(
-                            self._lr * cfg.opt.plateau_factor, cfg.opt.min_lr
+                        # Reduce from the LIVE lr (survives --resume, where
+                        # self._lr would be stale) and install it with the
+                        # mesh sharding — an unsharded scalar in the donated
+                        # opt_state would silently recompile the epoch
+                        # program on the next call.
+                        live = float(
+                            jax.device_get(
+                                state.opt_state.hyperparams["learning_rate"]
+                            )
                         )
-                        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                            self._lr
+                        self._lr = max(
+                            live * cfg.opt.plateau_factor, cfg.opt.min_lr
+                        )
+                        state.opt_state.hyperparams["learning_rate"] = (
+                            pmesh.device_put_replicated(
+                                jnp.asarray(self._lr, jnp.float32), self.mesh
+                            )
                         )
                         since_best = 0
             state = self.apply_epoch_updates(state)

@@ -101,7 +101,7 @@ def plot_latents(
 
     z = np.asarray(latents, np.float64)
     c = None if center is None else np.asarray(center, np.float64)
-    d = 3 if three_d else 2
+    d = min(3 if three_d else 2, z.shape[1])
     if z.shape[1] > d:
         mu = z.mean(0)
         zc = z - mu

@@ -25,13 +25,15 @@ namespace {
 
 struct Parser {
   const char* p;
+  const char* begin;
   const char* end;
 
-  explicit Parser(const char* data, size_t len) : p(data), end(data + len) {}
+  explicit Parser(const char* data, size_t len)
+      : p(data), begin(data), end(data + len) {}
 
   [[noreturn]] void fail(const char* msg) {
     throw std::runtime_error(std::string(msg) + " at offset " +
-                             std::to_string(static_cast<size_t>(p - end)));
+                             std::to_string(static_cast<size_t>(p - begin)));
   }
 
   void skip_ws() {

@@ -57,3 +57,33 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     z2 = trainer2.embed_all(restored, ds, trainer2.train_data)
     np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-6)
+
+
+def test_validation_split_derivation():
+    """UBnormal validates on 'validating' with validating masks; other
+    datasets validate on the test split (reference utils/argparser.py:14-27)."""
+    import os as _os
+
+    from coskad_tpu.config import from_reference_dict
+
+    cfg = from_reference_dict({
+        "dataset_choice": "UBnormal", "data_dir": "/data/UB", "validation": True,
+    })
+    assert cfg.data.pose_dirs["validation"].endswith("pose/validating")
+    assert cfg.data.gt_dir == "/data/UB/validating/test_frame_mask"
+
+    cfg2 = from_reference_dict({
+        "dataset_choice": "HR-Avenue", "data_dir": "/data/AV", "validation": True,
+    })
+    assert cfg2.data.pose_dirs["validation"] == cfg2.data.pose_dirs["test"]
+    assert cfg2.data.gt_dir == "/data/AV/testing/test_frame_mask"
+
+
+def test_variant_dispatch_order_matches_reference_train():
+    """use_decoder > use_vae > hyperbolic (train_COSKAD.py:36-55)."""
+    from coskad_tpu.config import from_reference_dict
+
+    both = from_reference_dict({"use_vae": True, "hyperbolic": True})
+    assert both.model.variant == "vae"
+    dec = from_reference_dict({"use_decoder": True, "use_vae": True})
+    assert dec.model.variant == "autoencoder"

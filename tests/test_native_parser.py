@@ -142,3 +142,18 @@ def test_native_is_faster(tmp_path, rng):
     t_python = time.perf_counter() - t0
     print(f"native {t_native*1000:.1f} ms vs python {t_python*1000:.1f} ms")
     assert t_native < t_python
+
+
+def test_duplicate_toplevel_person_matches_json_load(tmp_path, rng):
+    """json.load keeps only the LAST duplicate top-level key; the native
+    shim must do the same (not merge)."""
+    kp_a = json.dumps(rng.normal(size=51).tolist())
+    kp_b = json.dumps(rng.normal(size=51).tolist())
+    raw = ('{"7": {"0001": {"keypoints": %s}}, '
+           '"7": {"0002": {"keypoints": %s}}}' % (kp_a, kp_b))
+    path = tmp_path / "dup.json"
+    path.write_text(raw)
+    native = parse_clip_json_native(str(path))
+    python = _python_parse(str(path))
+    _assert_same(native, python)
+    assert native[0].frame_keys == [2]  # only the last occurrence survives

@@ -204,3 +204,19 @@ def test_remove_missing_skeletons():
     out, (kept_ids,) = tj.remove_missing_skeletons(x, ids)
     np.testing.assert_allclose(out, [[1.0, 2.0], [3.0, 0.0]])
     np.testing.assert_allclose(kept_ids, [10, 30])
+
+
+def test_robust_split_uses_provided_scaler_over_pickles(tmp_path, rng):
+    """A checkpoint-restored scaler takes priority over exp_dir pickles and
+    is returned on the dataset for re-checkpointing."""
+    _write_csv_tree(str(tmp_path), split="testing")
+    fitted = tj.RobustScalerState if False else None
+    from coskad_tpu.data.normalize import RobustScalerState
+
+    scaler = RobustScalerState(center=np.zeros(34), scale=np.ones(34))
+    ds = load_robust_split(
+        str(tmp_path), split="test", seg_len=12, seg_stride=1,
+        vid_res=[856, 480], exp_dir=str(tmp_path / "empty_exp"),
+        num_transform=1, scaler=scaler,
+    )
+    assert ds.scaler is scaler  # no pickle needed, none written

@@ -190,3 +190,13 @@ def test_dropout_vae_training_path():
     trainer = Trainer(cfg, train_ds)
     state, history = trainer.fit()
     assert np.isfinite(history["loss"]).all()
+
+
+def test_fit_with_dataset_smaller_than_batch():
+    """Logical dataset < batch_size must still train (short-batch clamp)."""
+    cfg = tiny_config("euclidean_static", epochs=1, batch_size=4096)
+    ds, _ = synthetic_segments(seed=0, stride=8)  # few windows
+    assert len(ds) < 4096
+    trainer = Trainer(cfg, ds)
+    state, history = trainer.fit()
+    assert np.isfinite(history["loss"]).all()

@@ -92,3 +92,11 @@ def test_plot_latents(tmp_path, rng):
     plot_latents(z, labels, path=str(tmp_path / "lat2.png"), three_d=False)
     assert os.path.getsize(tmp_path / "lat3.png") > 0
     assert os.path.getsize(tmp_path / "lat2.png") > 0
+
+
+def test_plot_latents_2d_input(tmp_path, rng):
+    from coskad_tpu.visualize import plot_latents
+
+    z = rng.normal(size=(50, 2))
+    plot_latents(z, path=str(tmp_path / "l2.png"))  # default three_d=True
+    assert os.path.getsize(tmp_path / "l2.png") > 0
