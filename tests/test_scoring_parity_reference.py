@@ -194,3 +194,108 @@ def test_final_auc_matches_with_avenue_masks(rng):
     )
     np.testing.assert_allclose(ours.scores, ref_pds, rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(ours.auc, ref_auc, rtol=1e-9)
+
+
+def test_vae_cosine_scoring_matches_reference_loop(rng):
+    """VAE eval scores 1 - cosine(z, mean_vector) through the reference's
+    windows_based_loss_hy with its lambda loss_fn (eval_COSKAD.py:81,191)."""
+    import torch
+    import torch.nn.functional as F
+    from sklearn.metrics import roc_auc_score as sk_auc
+
+    ref_eval = _reference_eval_utils()
+    z, trans, meta, frames, gts = _synthetic_eval_inputs(rng, num_transform=2)
+    mean_vector = rng.normal(size=8).astype(np.float32)
+
+    from coskad_tpu.geometry.euclidean import cosine_distance_to_center
+    import jax.numpy as jnp
+
+    scores = np.asarray(
+        cosine_distance_to_center(jnp.asarray(z), jnp.asarray(mean_vector))
+    )
+    ours = evaluate_windows(
+        scores, trans, meta, frames, gts, ScoringConfig(num_transform=2)
+    )
+
+    loss_fn = lambda x, y: torch.unsqueeze(1 - F.cosine_similarity(x, y), dim=-1)
+    mv = torch.tensor(mean_vector)
+    clip_keys = sorted(gts.keys())
+    per_t_scores, per_t_gt = [], []
+    for t in range(2):
+        cond = trans == t
+        h_t, m_t, f_t = z[cond], meta[cond], frames[cond]
+        cs, cg = [], []
+        for scene, clip in clip_keys:
+            gt = gts[(scene, clip)]
+            sel = (m_t[:, 0] == scene) & (m_t[:, 1] == clip)
+            h_sc, m_sc, f_sc = h_t[sel], m_t[sel], f_t[sel]
+            rows = []
+            for fig in sorted(set(m_sc[:, 2])):
+                cf = m_sc[:, 2] == fig
+                lm = ref_eval.windows_based_loss_hy(mv, h_sc[cf], f_sc[cf],
+                                                    len(gt), loss_fn)
+                lm = np.where(lm == 0.0, np.nan, lm)
+                fl = np.nanmean(lm, 0)
+                rows.append(np.where(np.isnan(fl), 0, fl))
+            clip_score = ref_eval.score_process(np.amax(np.stack(rows), 0))
+            cs.append(clip_score)
+            cg.append(gt)
+        per_t_scores.append(np.concatenate(cs))
+        per_t_gt.append(np.concatenate(cg))
+    ref_pds = np.mean(np.stack(per_t_scores), 0)
+    ref_auc = sk_auc(per_t_gt[0], ref_pds)
+    np.testing.assert_allclose(ours.scores, ref_pds, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(ours.auc, ref_auc, rtol=1e-9)
+
+
+def test_mahalanobis_scoring_matches_reference_loop(rng):
+    """Mahalanobis eval path (windows_based_loss_mahalanobis,
+    utils/eval_utils.py:41-54) vs our device-side mahalanobis scores."""
+    import torch
+    from sklearn.metrics import roc_auc_score as sk_auc
+
+    ref_eval = _reference_eval_utils()
+    z, trans, meta, frames, gts = _synthetic_eval_inputs(rng, num_transform=2)
+    center = rng.normal(size=8).astype(np.float32) * 0.1
+    a = rng.normal(size=(8, 8)).astype(np.float32)
+    inv_cov = (a @ a.T + np.eye(8)).astype(np.float32)
+
+    from coskad_tpu.geometry.euclidean import mahalanobis
+    import jax.numpy as jnp
+
+    scores = np.asarray(
+        mahalanobis(jnp.asarray(z), jnp.asarray(center), jnp.asarray(inv_cov))
+    )
+    ours = evaluate_windows(
+        scores, trans, meta, frames, gts, ScoringConfig(num_transform=2)
+    )
+
+    c_t, vi_t = torch.tensor(center), torch.tensor(inv_cov)
+    clip_keys = sorted(gts.keys())
+    per_t_scores, per_t_gt = [], []
+    for t in range(2):
+        cond = trans == t
+        h_t, m_t, f_t = z[cond], meta[cond], frames[cond]
+        cs, cg = [], []
+        for scene, clip in clip_keys:
+            gt = gts[(scene, clip)]
+            sel = (m_t[:, 0] == scene) & (m_t[:, 1] == clip)
+            h_sc, m_sc, f_sc = h_t[sel], m_t[sel], f_t[sel]
+            rows = []
+            for fig in sorted(set(m_sc[:, 2])):
+                cf = m_sc[:, 2] == fig
+                lm = ref_eval.windows_based_loss_mahalanobis(
+                    c_t, h_sc[cf], vi_t, f_sc[cf], len(gt)
+                )
+                lm = np.where(lm == 0.0, np.nan, lm)
+                fl = np.nanmean(lm, 0)
+                rows.append(np.where(np.isnan(fl), 0, fl))
+            clip_score = ref_eval.score_process(np.amax(np.stack(rows), 0))
+            cs.append(clip_score)
+            cg.append(gt)
+        per_t_scores.append(np.concatenate(cs))
+        per_t_gt.append(np.concatenate(cg))
+    ref_pds = np.mean(np.stack(per_t_scores), 0)
+    ref_auc = sk_auc(per_t_gt[0], ref_pds)
+    np.testing.assert_allclose(ours.scores, ref_pds, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(ours.auc, ref_auc, rtol=1e-9)
