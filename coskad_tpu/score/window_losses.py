@@ -92,3 +92,17 @@ def calculate_loss(x: np.ndarray, target: np.ndarray, to_pow: bool = False) -> n
     loss = np.mean((np.asarray(target, np.float64) - np.asarray(x, np.float64)) ** 2,
                    axis=-1)
     return loss**4 if to_pow else loss
+
+
+def compute_fig_matrix(pos: np.ndarray, frames_pos: np.ndarray,
+                       n_frames: int) -> np.ndarray:
+    """Scatter per-window poses into a [num_windows, n_frames, joints*dim]
+    matrix at their (1-based) frame positions (reference
+    utils/eval_utils.py:14-25; used for reconstruction visualization)."""
+    assert pos.ndim == 4
+    w, dim, timesteps, joints = pos.shape
+    flat = pos.transpose(0, 2, 3, 1).reshape(w, timesteps, joints * dim)
+    pose = np.zeros((w, n_frames, joints * dim))
+    for n in range(w):
+        pose[n, frames_pos[n] - 1, :] = flat[n]
+    return pose

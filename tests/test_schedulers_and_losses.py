@@ -101,3 +101,33 @@ def test_extract_single_pose_consolidates():
     )
     assert single[0].sum() == 0  # uncovered frame
     assert std.shape == (10,) and std.min() >= 0 and std.max() <= 1
+
+
+def test_compute_fig_matrix_matches_reference(rng):
+    import os
+    import sys
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference unavailable")
+    sys.path.insert(0, "/root/reference")
+    import types
+
+    if "geoopt" not in sys.modules:
+        g = types.ModuleType("geoopt")
+        m = types.ModuleType("geoopt.manifolds")
+        st = types.ModuleType("geoopt.manifolds.stereographic")
+        mm = types.ModuleType("geoopt.manifolds.stereographic.math")
+        g.manifolds = m; m.stereographic = st; st.math = mm
+        for n_, mod in [("geoopt", g), ("geoopt.manifolds", m),
+                        ("geoopt.manifolds.stereographic", st),
+                        ("geoopt.manifolds.stereographic.math", mm)]:
+            sys.modules[n_] = mod
+    import utils.eval_utils as ref_eval
+
+    from coskad_tpu.score.window_losses import compute_fig_matrix
+
+    pos = rng.normal(size=(5, 2, 6, 4))
+    frames = rng.integers(1, 30, size=(5, 6))
+    ref = ref_eval.compute_fig_matrix(pos.copy(), frames, 40)
+    ours = compute_fig_matrix(pos, frames, 40)
+    np.testing.assert_allclose(ours, ref)
