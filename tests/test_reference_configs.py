@@ -1,0 +1,81 @@
+"""The reference's shipped YAML configs load unchanged into Config trees
+with the right variant/hyperparameters."""
+
+import os
+
+import pytest
+
+from coskad_tpu.config import from_reference_yaml
+
+REF_CFG = "/root/reference/config"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_CFG), reason="reference configs unavailable"
+)
+
+
+def test_ubnormal_euclidean_encoder():
+    cfg = from_reference_yaml(f"{REF_CFG}/UBnormal/euclidean_encoder.yaml")
+    assert cfg.model.variant == "euclidean_dynamic"  # static_center: False
+    assert cfg.model.encoder_type == "learnable_gcn"
+    assert cfg.model.projector == "mlp"
+    assert cfg.model.channels == (32, 16, 32)
+    assert cfg.model.h_dim == 64 and cfg.model.latent_dim == 16
+    assert cfg.data.seg_len == 12 and cfg.data.num_transform == 5
+    assert cfg.data.normalization_strategy == "robust"
+    assert cfg.data.batch_size == 2048
+    assert cfg.data.path_to_robust  # robust pipeline root
+    assert cfg.opt.validation is True
+    assert cfg.opt.plateau_patience == 2  # dynamic-center variant
+
+
+def test_ubnormal_hyperbolic_encoder():
+    cfg = from_reference_yaml(f"{REF_CFG}/UBnormal/hyperbolic_encoder.yaml")
+    assert cfg.model.variant == "hyperbolic"
+    assert cfg.model.distance == "euclidean"  # 'poincare' string normalized
+    assert cfg.eval.pad_size == -1
+    assert cfg.opt.plateau_patience == 100
+    assert cfg.run.debug and cfg.data.num_clips == 5  # debug: True -> 5 clips
+
+
+def test_ubnormal_spherical_vae():
+    cfg = from_reference_yaml(f"{REF_CFG}/UBnormal/spherical_vae.yaml")
+    assert cfg.model.variant == "vae"
+    assert cfg.model.distribution == "ps"
+    assert cfg.model.latent_dim == 8
+    assert cfg.model.decoder_channels == (8, 8)
+    assert cfg.opt.phi == 1 and cfg.opt.beta == 0.001 and cfg.opt.gamma == 0.01
+    assert cfg.opt.warmup_epochs == 10
+    assert cfg.eval.pad_size == 10
+
+
+def test_ubnormal_euclidean_autoencoder_is_broken_upstream():
+    """The reference ships this file with an unescaped apostrophe in
+    load_ckpt ('/path_to_model's_checkpoint'), so the reference's own
+    yaml.load fails on it too; our loader surfaces the same parse error.
+    The autoencoder variant itself is covered by the dict-based loader
+    tests and the CLI e2e suite."""
+    import yaml
+
+    with pytest.raises(yaml.YAMLError):
+        from_reference_yaml(f"{REF_CFG}/UBnormal/euclidean_autoencoder.yaml")
+
+    from coskad_tpu.config import from_reference_dict
+
+    cfg = from_reference_dict({"use_decoder": True, "lambda_": 0.01})
+    assert cfg.model.variant == "autoencoder"
+    assert cfg.opt.lambda_ == 0.01
+
+
+def test_stc_and_avenue_configs_load():
+    for rel in ("STC/euclidean_encoder.yaml", "STC/hyperbolic_encoder.yaml",
+                "Avenue/encoder.yaml"):
+        path = f"{REF_CFG}/{rel}"
+        if not os.path.exists(path):
+            continue
+        cfg = from_reference_yaml(path)
+        assert cfg.model.variant in (
+            "euclidean_static", "euclidean_dynamic", "autoencoder", "vae",
+            "hyperbolic",
+        )
+        assert cfg.data.seg_len > 0 and cfg.data.batch_size > 0
