@@ -43,7 +43,21 @@ def load_split(
         raise FileNotFoundError(
             f"pose directory for split {split!r} not found: {pose_dir!r}"
         )
-    return load_alphapose_split(
+    # AlphaPose path with robust normalization: the fitted scaler persists as
+    # <ckpt_dir>/robust.pkl like the reference (utils/dataset.py:176-179,
+    # 290-294); use_fitted_scaler (or a non-train split) loads it.
+    scaler_pkl = os.path.join(cfg.ckpt_dir, "robust.pkl")
+    if (
+        scaler is None
+        and d.normalization_strategy == "robust"
+        and (d.use_fitted_scaler or split != "train")
+        and os.path.exists(scaler_pkl)
+    ):
+        import pickle
+
+        with open(scaler_pkl, "rb") as f:
+            scaler = pickle.load(f)
+    ds = load_alphapose_split(
         pose_dir,
         seg_len=d.seg_len,
         seg_stride=stride if stride is not None else d.seg_stride,
@@ -60,6 +74,18 @@ def load_split(
         scaler=scaler,
         num_transform=d.num_transform,
     )
+    if (
+        d.normalization_strategy == "robust"
+        and split == "train"
+        and scaler is None
+        and ds.scaler is not None
+    ):
+        import pickle
+
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+        with open(scaler_pkl, "wb") as f:
+            pickle.dump(ds.scaler, f)
+    return ds
 
 
 def load_ground_truths(gt_dir: str) -> Dict[Tuple[int, int], np.ndarray]:

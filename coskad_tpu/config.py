@@ -244,7 +244,8 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
     opt = OptConfig(
         plateau_patience=patience,
         lr=get("opt_lr", 1e-4),
-        epochs=get("ae_epochs", 100),
+        # debug runs cap at 10 epochs (reference utils/argparser.py:11-12)
+        epochs=10 if get("debug", False) else get("ae_epochs", 100),
         alpha=get("alpha", 1e-6),
         lambda_=get("lambda_", 0.01),
         phi=get("phi", 1.0),

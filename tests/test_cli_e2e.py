@@ -87,3 +87,32 @@ def test_variant_dispatch_order_matches_reference_train():
     assert both.model.variant == "vae"
     dec = from_reference_dict({"use_decoder": True, "use_vae": True})
     assert dec.model.variant == "autoencoder"
+
+
+def test_debug_caps_epochs():
+    from coskad_tpu.config import from_reference_dict
+
+    assert from_reference_dict({"debug": True, "ae_epochs": 100}).opt.epochs == 10
+    assert from_reference_dict({"debug": False, "ae_epochs": 42}).opt.epochs == 42
+
+
+def test_alphapose_robust_scaler_persists_to_ckpt_dir(tmp_path):
+    """Train split fits + persists robust.pkl; test split reloads it so both
+    splits share one scaler (reference utils/dataset.py:176-179,290-294)."""
+    import yaml
+
+    from coskad_tpu.cli.common import load_config, load_split
+
+    cfg_path = make_synthetic_dataset(str(tmp_path))
+    raw = yaml.safe_load(open(cfg_path))
+    raw["dataset_normalization_strategy"] = "robust"
+    raw["dataset_sub_mean"] = False
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    cfg = load_config(cfg_path)
+    train_ds = load_split(cfg, "train")
+    pkl = os.path.join(cfg.ckpt_dir, "robust.pkl")
+    assert os.path.exists(pkl)
+    test_ds = load_split(cfg, "test", stride=1)
+    # same scaler => identical normalization statistics
+    np.testing.assert_allclose(train_ds.scaler.center, test_ds.scaler.center)
+    np.testing.assert_allclose(train_ds.scaler.scale, test_ds.scaler.scale)
