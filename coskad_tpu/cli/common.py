@@ -26,6 +26,7 @@ def load_split(
         return load_robust_split(
             d.path_to_robust,
             split=split,
+            include_global=cfg.model.num_coords == 6,
             seg_len=d.seg_len,
             seg_stride=stride if stride is not None else d.seg_stride,
             vid_res=d.vid_res,

@@ -220,3 +220,32 @@ def test_robust_split_uses_provided_scaler_over_pickles(tmp_path, rng):
         num_transform=1, scaler=scaler,
     )
     assert ds.scaler is scaler  # no pickle needed, none written
+
+
+def test_include_global_seven_channel_training(tmp_path, rng):
+    """num_coords=6 trains on x,y + 4 global bbox features (reference
+    PoseDatasetRobust include_global, utils/dataset.py:262-265)."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import tiny_config
+
+    from coskad_tpu.train.loop import Trainer
+
+    _write_csv_tree(str(tmp_path), n_frames=120)
+    ds = load_robust_split(
+        str(tmp_path), split="train", seg_len=6, seg_stride=1,
+        vid_res=[856, 480], exp_dir=str(tmp_path / "exp"), num_transform=2,
+        include_global=True,
+    )
+    assert ds.data.shape[1] == 7  # x, y, 4 global, conf
+    cfg = tiny_config("euclidean_static", epochs=1)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, num_coords=6),
+        data=dataclasses.replace(cfg.data, n_joints_override=17, seg_len=6),
+    )
+    trainer = Trainer(cfg, ds)
+    state, history = trainer.fit()
+    assert np.isfinite(history["loss"]).all()
