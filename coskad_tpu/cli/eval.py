@@ -47,28 +47,17 @@ def main(argv=None):
         else:
             raise FileNotFoundError(f"no checkpoint at {ckpt_path}")
 
-    # Restore the scaler first so the test split is normalized consistently.
-    test_ds = None
-    scaler = None
-    if cfg.data.normalization_strategy == "robust":
-        import flax.serialization as ser
-
-        with open(ckpt_path, "rb") as f:
-            payload = ser.msgpack_restore(f.read())
-        if "scaler" in payload:
-            from ..data.normalize import RobustScalerState
-
-            scaler = RobustScalerState(
-                center=np.asarray(payload["scaler"]["center"]),
-                scale=np.asarray(payload["scaler"]["scale"]),
-            )
+    # Read the checkpoint once; the scaler is needed before the Trainer
+    # exists (the test split must be normalized with the training scaler).
+    payload = checkpoint.read_payload(ckpt_path)
+    scaler = checkpoint._scaler_of(payload)
     test_ds = load_split(cfg, "test", stride=1, scaler=scaler)
     gts = load_ground_truths(cfg.data.gt_dir)
     print(f"[coskad] test windows: {test_ds.num_windows}, clips: {len(gts)}")
 
     trainer = Trainer(cfg, test_ds)  # reuses embed/score jit machinery
     state = trainer.init_state()
-    state, _, extra = checkpoint.restore(ckpt_path, state)
+    state, _, extra = checkpoint.restore(ckpt_path, state, payload=payload)
     state = trainer.attach_state(state)
     print(f"[coskad] restored {ckpt_path} {extra}")
 

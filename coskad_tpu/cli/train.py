@@ -52,7 +52,7 @@ def main(argv=None):
             and cfg.data.dataset_choice == "UBnormal"
         ) else "test"
         val_ds = load_split(cfg, val_split, stride=1, scaler=train_ds.scaler)
-        gts = load_ground_truths(cfg.data.gt_dir)
+        gts = load_ground_truths(cfg.data.val_gt_dir or cfg.data.gt_dir)
         print(f"[coskad] val windows: {val_ds.num_windows}, clips: {len(gts)}")
 
     ckpt_dir = cfg.ckpt_dir

@@ -58,7 +58,8 @@ class DataConfig:
     # the robust pipeline)
     pose_dirs: Dict[str, str] = field(default_factory=dict)
     path_to_robust: str = ""  # Morais CSV root (normalization_strategy='robust')
-    gt_dir: str = ""
+    gt_dir: str = ""  # offline-eval ground truth masks (= reference test_path)
+    val_gt_dir: str = ""  # in-training validation masks (may differ, see loader)
     seg_len: int = 12
     seg_stride: int = 8
     start_offset: int = 0
@@ -194,31 +195,32 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
     data_dir = get("data_dir", "")
     pose_dirs = {}
     gt_dir = get("gt_path", get("test_path", ""))
+    val_gt_dir = gt_dir
     if data_dir:
-        # Reference path layout (utils/argparser.py:16-34): gt defaults to
-        # test_path; with validation on, UBnormal validates on the
-        # 'validating' split with validating masks while the other datasets
-        # deliberately validate on the test split.
+        # Reference path layout: offline-eval gt = test_path
+        # (utils/argparser.py:14). With validation on, the reference train
+        # script points the in-training gt at 'validating/test_frame_mask'
+        # for ALL datasets (train_COSKAD.py:59-60) while the validation POSE
+        # split is 'validating' for UBnormal and the test split otherwise
+        # (utils/argparser.py:21-27). Custom layouts (derived dir missing)
+        # keep their explicit gt_path for validation too.
         pose_dirs = {
             "train": os.path.join(data_dir, "pose", "training"),
             "test": os.path.join(data_dir, "pose", "testing"),
             "validation": os.path.join(data_dir, "pose", "validating"),
         }
         if get("validation", False):
-            if get("dataset_choice", "UBnormal") == "UBnormal":
-                derived = os.path.join(data_dir, "validating", "test_frame_mask")
-            else:
+            if get("dataset_choice", "UBnormal") != "UBnormal":
                 pose_dirs["validation"] = pose_dirs["test"]
-                derived = os.path.join(data_dir, "testing", "test_frame_mask")
-            # only override an explicit gt_path when the reference-layout
-            # directory actually exists (custom layouts keep their own)
-            if os.path.isdir(derived) or not gt_dir:
-                gt_dir = derived
+            derived = os.path.join(data_dir, "validating", "test_frame_mask")
+            if os.path.isdir(derived) or not val_gt_dir:
+                val_gt_dir = derived
     data = DataConfig(
         dataset_choice=get("dataset_choice", "UBnormal"),
         pose_dirs=pose_dirs,
         path_to_robust=get("dataset_path_to_robust", ""),
         gt_dir=gt_dir,
+        val_gt_dir=val_gt_dir,
         seg_len=get("dataset_seg_len", 12),
         seg_stride=get("dataset_seg_stride", 8),
         start_offset=get("dataset_start_offset", 0),

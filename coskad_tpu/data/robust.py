@@ -93,7 +93,16 @@ def robust_windows(
                 )
                 save_scaler(gscaler, scaler_path)
             else:
-                gscaler = load_scaler(scaler_path)
+                try:
+                    gscaler = load_scaler(scaler_path)
+                except FileNotFoundError:
+                    raise FileNotFoundError(
+                        f"global scaler pickle missing: {scaler_path}. The "
+                        "include_global path persists its global-feature "
+                        "scaler only in exp_dir (not in checkpoints yet — "
+                        "see NEXT.md); evaluate in the training exp_dir or "
+                        "re-fit on the train split."
+                    ) from None
             x_global, _ = scale_trajectories(
                 x_global, scaler=gscaler, strategy=normalization_strategy
             )

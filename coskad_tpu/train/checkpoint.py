@@ -53,17 +53,35 @@ def save(
     return path
 
 
-def restore(
-    path: str, template_state: TrainState
-) -> Tuple[TrainState, Optional[RobustScalerState], dict]:
-    """Restore into the shape of `template_state` (from Trainer.init_state)."""
+def read_payload(path: str) -> dict:
     with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+        return serialization.msgpack_restore(f.read())
+
+
+def _scaler_of(payload: dict) -> Optional[RobustScalerState]:
+    if "scaler" not in payload:
+        return None
+    return RobustScalerState(
+        center=np.asarray(payload["scaler"]["center"]),
+        scale=np.asarray(payload["scaler"]["scale"]),
+    )
+
+
+def load_scaler(path: str) -> Optional[RobustScalerState]:
+    """Read just the fitted scaler from a checkpoint."""
+    return _scaler_of(read_payload(path))
+
+
+def restore(
+    path: str,
+    template_state: TrainState,
+    payload: Optional[dict] = None,
+) -> Tuple[TrainState, Optional[RobustScalerState], dict]:
+    """Restore into the shape of `template_state` (from Trainer.init_state).
+
+    Pass a pre-read `payload` (from read_payload) to avoid deserializing the
+    checkpoint twice when the scaler is needed before the Trainer exists."""
+    if payload is None:
+        payload = read_payload(path)
     state = serialization.from_state_dict(template_state, payload["state"])
-    scaler = None
-    if "scaler" in payload:
-        scaler = RobustScalerState(
-            center=np.asarray(payload["scaler"]["center"]),
-            scale=np.asarray(payload["scaler"]["scale"]),
-        )
-    return state, scaler, payload.get("extra", {})
+    return state, _scaler_of(payload), payload.get("extra", {})

@@ -129,6 +129,10 @@ class Trainer:
         # permutation.
         self._shuffle_rng = np.random.default_rng(cfg.run.seed)
         self._epochs_done = 0
+        # Plateau-scheduler state must survive the CLI's per-epoch
+        # fit(state, epochs=1) calls, like the shuffle stream above.
+        self._best_auc = -np.inf
+        self._since_best = 0
 
     def _device_data(self, ds):
         if isinstance(ds, TrajectoryStore):
@@ -162,11 +166,7 @@ class Trainer:
         )
         # Lay out: params/state replicated (model-parallel layouts are applied
         # to the wide projector kernels inside shard_params).
-        params = pmesh.device_put_params(state.params, self.mesh)
-        rest = pmesh.device_put_replicated(
-            state.replace(params=None), self.mesh
-        )
-        return rest.replace(params=params)
+        return self.attach_state(state)
 
     def attach_state(self, state: TrainState) -> TrainState:
         """Re-lay a (restored) state onto the mesh. Checkpoint restore
@@ -443,11 +443,12 @@ class Trainer:
         n = len(self.train_ds)
         # A logical dataset smaller than one batch still trains: shrink the
         # step batch to the dataset (the reference's loader would emit one
-        # short batch; we need a fixed shape for jit).
-        bs = min(self.batch_size, n)
+        # short batch; we need a fixed shape for jit), rounded to a multiple
+        # of the data-mesh axis so the batch-sharded device_put stays valid.
+        data_axis = self.mesh.shape[pmesh.DATA_AXIS]
+        bs = min(self.batch_size, max(n // data_axis, 1) * data_axis)
         steps_per_epoch = max(n // bs, 1)
         history = {"validation_auc": [], "loss": []}
-        best_auc, since_best = -np.inf, 0
 
         for local_epoch in range(epochs):
             epoch = self._epochs_done + local_epoch
@@ -481,11 +482,11 @@ class Trainer:
                     {"validation_auc": auc, "epoch": epoch}, int(state.step), force=True
                 )
                 # ReduceLROnPlateau(mode='max') analogue
-                if auc > best_auc:
-                    best_auc, since_best = auc, 0
+                if auc > self._best_auc:
+                    self._best_auc, self._since_best = auc, 0
                 else:
-                    since_best += 1
-                    if since_best > cfg.opt.plateau_patience:
+                    self._since_best += 1
+                    if self._since_best > cfg.opt.plateau_patience:
                         # Reduce from the LIVE lr (survives --resume, where
                         # self._lr would be stale) and install it with the
                         # mesh sharding — an unsharded scalar in the donated
@@ -504,7 +505,7 @@ class Trainer:
                                 jnp.asarray(self._lr, jnp.float32), self.mesh
                             )
                         )
-                        since_best = 0
+                        self._since_best = 0
             state = self.apply_epoch_updates(state)
         self._epochs_done += epochs
         return state, history

@@ -59,24 +59,28 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-6)
 
 
-def test_validation_split_derivation():
-    """UBnormal validates on 'validating' with validating masks; other
-    datasets validate on the test split (reference utils/argparser.py:14-27)."""
-    import os as _os
-
+def test_validation_split_derivation(tmp_path):
+    """Validation pose split: 'validating' for UBnormal, the test split
+    otherwise (utils/argparser.py:21-27). In-training gt points at the
+    validating masks for ALL datasets (train_COSKAD.py:59-60) while the
+    offline-eval gt stays the test masks."""
     from coskad_tpu.config import from_reference_dict
 
-    cfg = from_reference_dict({
-        "dataset_choice": "UBnormal", "data_dir": "/data/UB", "validation": True,
-    })
-    assert cfg.data.pose_dirs["validation"].endswith("pose/validating")
-    assert cfg.data.gt_dir == "/data/UB/validating/test_frame_mask"
+    data_dir = str(tmp_path)
+    os.makedirs(os.path.join(data_dir, "validating", "test_frame_mask"))
+    common = {"data_dir": data_dir, "validation": True,
+              "test_path": os.path.join(data_dir, "testing", "test_frame_mask")}
 
-    cfg2 = from_reference_dict({
-        "dataset_choice": "HR-Avenue", "data_dir": "/data/AV", "validation": True,
-    })
+    cfg = from_reference_dict({"dataset_choice": "UBnormal", **common})
+    assert cfg.data.pose_dirs["validation"].endswith("pose/validating")
+    assert cfg.data.val_gt_dir == os.path.join(
+        data_dir, "validating", "test_frame_mask")
+    assert cfg.data.gt_dir == common["test_path"]  # eval gt unchanged
+
+    cfg2 = from_reference_dict({"dataset_choice": "HR-Avenue", **common})
     assert cfg2.data.pose_dirs["validation"] == cfg2.data.pose_dirs["test"]
-    assert cfg2.data.gt_dir == "/data/AV/testing/test_frame_mask"
+    assert cfg2.data.val_gt_dir == os.path.join(
+        data_dir, "validating", "test_frame_mask")
 
 
 def test_variant_dispatch_order_matches_reference_train():

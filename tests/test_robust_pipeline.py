@@ -210,7 +210,6 @@ def test_robust_split_uses_provided_scaler_over_pickles(tmp_path, rng):
     """A checkpoint-restored scaler takes priority over exp_dir pickles and
     is returned on the dataset for re-checkpointing."""
     _write_csv_tree(str(tmp_path), split="testing")
-    fitted = tj.RobustScalerState if False else None
     from coskad_tpu.data.normalize import RobustScalerState
 
     scaler = RobustScalerState(center=np.zeros(34), scale=np.ones(34))
