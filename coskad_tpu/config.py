@@ -131,6 +131,11 @@ class RunConfig:
     data_parallel: int = -1
     model_parallel: int = 1
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # Train with running BN statistics from this epoch on (-1 disables).
+    # XLA then folds the BN affine into the dense layers: +22% step
+    # throughput measured; a semantic deviation from the reference, off by
+    # default (see DESIGN.md section 6).
+    freeze_bn_after: int = -1
 
 
 @dataclass

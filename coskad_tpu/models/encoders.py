@@ -40,8 +40,9 @@ class STGCNBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, adj, train: bool = False):
+    def __call__(self, x, adj, train: bool = False, frozen_bn: bool = False):
         # x: [B, T, V, C]; adj: [K, V, V] (already edge-importance weighted)
+        use_running = (not train) or frozen_bn
         in_channels = x.shape[-1]
         if in_channels == self.out_channels:
             res = x
@@ -53,7 +54,7 @@ class STGCNBlock(nn.Module):
                 name="residual_dense",
             )(x)
             res = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_running_average=use_running, momentum=0.9, epsilon=1e-5,
                 name="residual_bn",
             )(res)
 
@@ -72,7 +73,7 @@ class STGCNBlock(nn.Module):
         # Temporal unit: BN -> ReLU -> 9x1 conv over T -> BN -> dropout
         # (reference stgcn.py:300-315).
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+            use_running_average=use_running, momentum=0.9, epsilon=1e-5, name="bn1"
         )(h)
         h = nn.relu(h)
         pad = (self.temporal_kernel - 1) // 2
@@ -83,7 +84,7 @@ class STGCNBlock(nn.Module):
             name="tconv",
         )(h)
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+            use_running_average=use_running, momentum=0.9, epsilon=1e-5, name="bn2"
         )(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -103,7 +104,7 @@ class STGCNEncoder(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frozen_bn: bool = False):
         adj_np = build_partitioned_adjacency(self.layout, self.strategy)
         assert adj_np.shape[1] == x.shape[2], (
             f"graph layout {self.layout} has {adj_np.shape[1]} joints, "
@@ -114,8 +115,8 @@ class STGCNEncoder(nn.Module):
         # Input normalization over per-(joint, channel) features.
         b, t, v, c = x.shape
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="data_bn",
+            use_running_average=(not train) or frozen_bn, momentum=0.9,
+            epsilon=1e-5, name="data_bn",
         )(x.reshape(b, t, v * c)).reshape(b, t, v, c)
 
         schedule = list(self.layer_channels) + [self.hidden_dimension]
@@ -129,7 +130,7 @@ class STGCNEncoder(nn.Module):
                 n_partitions=adj.shape[0],
                 dropout=self.dropout,
                 name=f"layer_{i}",
-            )(h, adj * importance, train=train)
+            )(h, adj * importance, train=train, frozen_bn=frozen_bn)
         return h
 
 
@@ -171,7 +172,7 @@ class LearnablePlainGCNEncoder(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frozen_bn: bool = False):
         b, t, v, c = x.shape
         h = x.reshape(b, t * v, c)
         n = t * v
@@ -199,7 +200,7 @@ class StaticPlainGCNEncoder(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frozen_bn: bool = False):
         b, t, v, c = x.shape
         adj = jnp.asarray(build_spacetime_adjacency(t, v))
         h = x.reshape(b, t * v, c)
@@ -219,7 +220,7 @@ class CNNEncoder(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frozen_bn: bool = False):
         schedule = list(self.layer_channels) + [self.hidden_dimension]
         for i, ch in enumerate(schedule):
             fan_in = x.shape[-1]
@@ -231,8 +232,8 @@ class CNNEncoder(nn.Module):
                 name=f"dense_{i}",
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name=f"bn_{i}",
+                use_running_average=(not train) or frozen_bn, momentum=0.9,
+                epsilon=1e-5, name=f"bn_{i}",
             )(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -102,16 +102,19 @@ class STSE(nn.Module):
             return self.btlnk(x, train=train)
         return self.btlnk(x)
 
-    def encode(self, x, train: bool = False):
-        """[B, C, T, V] -> (latent [B, D], hidden [B, T, V, hidden])."""
+    def encode(self, x, train: bool = False, frozen_bn: bool = False):
+        """[B, C, T, V] -> (latent [B, D], hidden [B, T, V, hidden]).
+
+        frozen_bn trains with running BN statistics (XLA folds the BN into
+        the dense layers; see RunConfig.freeze_bn_after)."""
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCTV -> NTVC
-        h = self.encoder(x, train=train)
+        h = self.encoder(x, train=train, frozen_bn=frozen_bn)
         flat = h.reshape(h.shape[0], -1)  # (T, V, C) flatten order
         z = self._apply_btlnk(flat, train).astype(jnp.float32)
         return z, h
 
-    def __call__(self, x, train: bool = False):
-        z, _ = self.encode(x, train=train)
+    def __call__(self, x, train: bool = False, frozen_bn: bool = False):
+        z, _ = self.encode(x, train=train, frozen_bn=frozen_bn)
         return z
 
 
@@ -144,19 +147,19 @@ class STSAE(STSE):
             name="decoder",
         )
 
-    def decode(self, z, train: bool = False):
+    def decode(self, z, train: bool = False, frozen_bn: bool = False):
         """latent [B, D] -> reconstruction [B, C_in, T, V]."""
         h = self.rev_btlnk(z)
         # Reference reshapes (hidden, T, V) channel-major
         # (models/sts/ae.py:222-226); mirror that, then go channels-last.
         h = h.reshape(h.shape[0], self.hidden_dimension, self.n_frames, self.n_joints)
         h = jnp.transpose(h, (0, 2, 3, 1))
-        x = self.decoder(h, train=train)
+        x = self.decoder(h, train=train, frozen_bn=frozen_bn)
         return jnp.transpose(x, (0, 3, 1, 2))  # NTVC -> NCTV
 
-    def __call__(self, x, train: bool = False):
-        z, _ = self.encode(x, train=train)
-        recon = self.decode(z, train=train)
+    def __call__(self, x, train: bool = False, frozen_bn: bool = False):
+        z, _ = self.encode(x, train=train, frozen_bn=frozen_bn)
+        recon = self.decode(z, train=train, frozen_bn=frozen_bn)
         return z, recon
 
 
@@ -207,19 +210,21 @@ class STSVAE(STSAE):
             return self.btlnk(x, train=train)
         return x  # identity projector for 'linear' (models/sts/vae.py:151)
 
-    def encode_distribution(self, x, train: bool = False):
+    def encode_distribution(self, x, train: bool = False, frozen_bn: bool = False):
         """-> (z_mean [B, D], z_var [B, D or 1])."""
-        z, _ = self.encode(x, train=train)
+        z, _ = self.encode(x, train=train, frozen_bn=frozen_bn)
         z_mean = self.fc_mean(z)
         if self.distribution == "ps":
             z_mean = z_mean / jnp.linalg.norm(z_mean, axis=-1, keepdims=True)
         z_var = nn.softplus(self.fc_var(z)) + 1.0  # +1 prevents collapse
         return z_mean, z_var
 
-    def __call__(self, x, train: bool = False, sample: bool = True):
+    def __call__(self, x, train: bool = False, sample: bool = True,
+                 frozen_bn: bool = False):
         from ..geometry.sphere import PowerSpherical
 
-        z_mean, z_var = self.encode_distribution(x, train=train)
+        z_mean, z_var = self.encode_distribution(x, train=train,
+                                                 frozen_bn=frozen_bn)
         if sample:
             key = self.make_rng("sample")
             if self.distribution == "ps":
@@ -228,7 +233,7 @@ class STSVAE(STSAE):
                 z = z_mean + z_var * jax.random.normal(key, z_mean.shape)
         else:
             z = z_mean
-        recon = self.decode(z, train=train)
+        recon = self.decode(z, train=train, frozen_bn=frozen_bn)
         return z, recon, (z_mean, z_var)
 
 

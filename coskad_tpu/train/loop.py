@@ -116,11 +116,17 @@ class Trainer:
         self.train_data = self._device_data(train_ds)
         self.val_data = self._device_data(val_ds) if val_ds is not None else None
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=0,
+            static_argnames=("frozen_bn",),
+        )
         # Multi-step variants: one dispatch per epoch via lax.scan. Remote
         # TPU dispatch costs 10s of ms per call; scanning K steps inside one
         # jitted program amortizes it and lets XLA pipeline the whole epoch.
-        self._train_epoch = jax.jit(self._train_epoch_impl, donate_argnums=0)
+        self._train_epoch = jax.jit(
+            self._train_epoch_impl, donate_argnums=0,
+            static_argnames=("frozen_bn",),
+        )
         self._embed_step = jax.jit(self._embed_step_impl)
         self._embed_many = jax.jit(self._embed_many_impl)
         self._score_fn = jax.jit(self._score_impl)
@@ -179,9 +185,10 @@ class Trainer:
 
     # ------------------------------------------------------------ jit bodies
 
-    def _forward(self, params, batch_stats, batch, train: bool, rng=None):
+    def _forward(self, params, batch_stats, batch, train: bool, rng=None,
+                 frozen_bn: bool = False):
         variables = {"params": params, "batch_stats": batch_stats}
-        kwargs = {"train": train}
+        kwargs = {"train": train, "frozen_bn": frozen_bn}
         rngs = {}
         base = rng if rng is not None else jax.random.PRNGKey(0)
         if self.cfg.model.use_vae:
@@ -208,14 +215,16 @@ class Trainer:
         )
 
     def _train_step_impl(
-        self, state: TrainState, data: jax.Array, indices: jax.Array
+        self, state: TrainState, data: jax.Array, indices: jax.Array,
+        frozen_bn: bool = False,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, step_rng = jax.random.split(state.rng)
         batch = self._gather(data, indices)
 
         def loss_fn(params):
             out, new_bs = self._forward(
-                params, state.batch_stats, batch, train=True, rng=step_rng
+                params, state.batch_stats, batch, train=True, rng=step_rng,
+                frozen_bn=frozen_bn,
             )
             loss, metrics = objectives.compute_loss(
                 self.cfg, out, batch, params, state.center, state.inv_cov
@@ -267,12 +276,15 @@ class Trainer:
         return new_state, metrics
 
     def _train_epoch_impl(
-        self, state: TrainState, data: jax.Array, indices: jax.Array
+        self, state: TrainState, data: jax.Array, indices: jax.Array,
+        frozen_bn: bool = False,
     ):
         """Scan K train steps in one compiled program. indices: [K, B]."""
 
         def body(carry, idx):
-            new_carry, metrics = self._train_step_impl(carry, data, idx)
+            new_carry, metrics = self._train_step_impl(
+                carry, data, idx, frozen_bn=frozen_bn
+            )
             return new_carry, metrics
 
         return jax.lax.scan(body, state, indices)
@@ -461,7 +473,13 @@ class Trainer:
                 ),
             )
             # One dispatch for the whole epoch (lax.scan over steps).
-            state, metrics = self._train_epoch(state, self.train_data, idx_dev)
+            frozen = (
+                cfg.run.freeze_bn_after >= 0
+                and epoch >= cfg.run.freeze_bn_after
+            )
+            state, metrics = self._train_epoch(
+                state, self.train_data, idx_dev, frozen_bn=frozen
+            )
             metrics = {k: np.asarray(v) for k, v in metrics.items()}  # [K]
             for step in range(steps_per_epoch):
                 global_step = epoch * steps_per_epoch + step + 1

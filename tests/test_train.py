@@ -200,3 +200,24 @@ def test_fit_with_dataset_smaller_than_batch():
     trainer = Trainer(cfg, ds)
     state, history = trainer.fit()
     assert np.isfinite(history["loss"]).all()
+
+
+def test_freeze_bn_after_trains_and_freezes_stats():
+    """freeze_bn_after trains with running BN statistics from that epoch:
+    batch_stats stop changing while the loss keeps improving."""
+    cfg = tiny_config("euclidean_static", epochs=1)
+    cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, freeze_bn_after=0)
+    )
+    ds, _ = synthetic_segments(seed=0, stride=2)
+    trainer = Trainer(cfg, ds)
+    state = trainer.init_state()
+    state = trainer.initialize_center(state)
+    stats_before = jax.tree_util.tree_map(np.array, jax.device_get(state.batch_stats))
+    state, history = trainer.fit(state=state, epochs=2)
+    stats_after = jax.tree_util.tree_map(np.array, jax.device_get(state.batch_stats))
+    for b, a in zip(jax.tree_util.tree_leaves(stats_before),
+                    jax.tree_util.tree_leaves(stats_after)):
+        np.testing.assert_allclose(b, a)  # frozen: no stat updates
+    assert np.isfinite(history["loss"]).all()
+    assert history["loss"][-1] < history["loss"][0]
