@@ -286,5 +286,9 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         exp_dir=get("exp_dir", "./checkpoints"),
         dir_name=get("dir_name", "default"),
         debug=get("debug", False),
+        compute_dtype=get("compute_dtype", "float32"),
+        freeze_bn_after=get("freeze_bn_after", -1),
+        data_parallel=get("data_parallel", -1),
+        model_parallel=get("model_parallel", 1),
     )
     return Config(model=model, data=data, opt=opt, eval=ev, run=run)
