@@ -120,3 +120,33 @@ def test_alphapose_robust_scaler_persists_to_ckpt_dir(tmp_path):
     # same scaler => identical normalization statistics
     np.testing.assert_allclose(train_ds.scaler.center, test_ds.scaler.center)
     np.testing.assert_allclose(train_ds.scaler.scale, test_ds.scaler.scale)
+
+
+def test_eval_cli_hr_masks_path(tmp_path):
+    """use_hr + hr_masks_glob: eval drops non-HR frames per clip before
+    smoothing (reference eval_COSKAD.py:92-101, 213-215)."""
+    import yaml
+
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli import train as train_cli
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+
+    # HR masks: drop 50 frames of clip (1, 1)
+    gt = np.load(os.path.join(str(tmp_path), "gt", "01_0001.npy"))
+    masks_dir = tmp_path / "hr_masks"
+    masks_dir.mkdir()
+    mask = np.ones(len(gt), dtype=np.uint8)
+    mask[:50] = 0
+    np.save(masks_dir / "1_1.npy", mask)
+
+    raw = yaml.safe_load(open(cfg_path))
+    raw["use_hr"] = True
+    raw["hr_masks_glob"] = str(masks_dir / "*")
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+
+    result = eval_cli.main(["--config", cfg_path])
+    assert result.scores.shape == (len(gt) - 50,)
+    assert len(result.gt) == len(gt) - 50
