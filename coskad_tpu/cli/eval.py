@@ -39,7 +39,11 @@ def main(argv=None):
     from .common import load_config, load_ground_truths, load_split
 
     cfg = load_config(args.config)
-    ckpt_path = args.ckpt or os.path.join(cfg.ckpt_dir, "best.ckpt")
+    # precedence: --ckpt flag > the reference's load_ckpt config key >
+    # best.ckpt > last.ckpt (reference eval_COSKAD.py:112 joins
+    # exp_dir/dataset/dir_name/load_ckpt)
+    default = os.path.join(cfg.ckpt_dir, cfg.eval.load_ckpt or "best.ckpt")
+    ckpt_path = args.ckpt or default
     if not os.path.exists(ckpt_path):
         alt = os.path.join(cfg.ckpt_dir, "last.ckpt")
         if os.path.exists(alt):

@@ -221,3 +221,20 @@ def test_freeze_bn_after_trains_and_freezes_stats():
         np.testing.assert_allclose(b, a)  # frozen: no stat updates
     assert np.isfinite(history["loss"]).all()
     assert history["loss"][-1] < history["loss"][0]
+
+
+def test_training_is_deterministic_per_seed():
+    """Same seed -> identical loss trajectory and final params."""
+    outs = []
+    for _ in range(2):
+        cfg = tiny_config("euclidean_static", epochs=2)
+        ds, _ = synthetic_segments(seed=0, stride=2)
+        trainer = Trainer(cfg, ds)
+        state, history = trainer.fit()
+        outs.append((history["loss"],
+                     jax.tree_util.tree_map(np.asarray,
+                                            jax.device_get(state.params))))
+    np.testing.assert_allclose(outs[0][0], outs[1][0])
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(a, b)
