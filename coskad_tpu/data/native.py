@@ -111,3 +111,17 @@ def parse_clip_json_native(
             )
         )
     return trajectories
+
+
+def load_csv_native(path: str):
+    """Parse a Morais trajectory CSV into [rows, cols] float64 via the C++
+    extension; None when unavailable."""
+    mod = _load_native()
+    if mod is None:
+        return None
+    with open(path, "rb") as f:
+        raw = f.read()
+    n_rows, n_cols, buf = mod.parse_csv(raw)
+    if n_rows == 0:
+        return np.empty((0, 0))
+    return np.frombuffer(buf, dtype=np.float64).reshape(n_rows, n_cols)

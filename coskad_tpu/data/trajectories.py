@@ -183,6 +183,18 @@ class Trajectory:
 # ---------------------------------------------------------------- loading
 
 
+def _read_csv(path: str) -> np.ndarray:
+    """Morais CSV -> float32 [rows, cols]; C++ fast path with numpy
+    fallback (COSKAD_NATIVE=0 to disable)."""
+    if os.environ.get("COSKAD_NATIVE", "1") != "0":
+        from .native import load_csv_native
+
+        arr = load_csv_native(path)
+        if arr is not None:
+            return arr.astype(np.float32)
+    return np.loadtxt(path, dtype=np.float32, delimiter=",", ndmin=2)
+
+
 def load_trajectories(
     trajectories_path: str, debug: bool = False, split: str = "train"
 ) -> "OrderedDict[str, Trajectory]":
@@ -193,10 +205,7 @@ def load_trajectories(
         folders = folders[:5]
     for folder in folders:
         for csv_name in os.listdir(os.path.join(trajectories_path, folder)):
-            arr = np.loadtxt(
-                os.path.join(trajectories_path, folder, csv_name),
-                dtype=np.float32, delimiter=",", ndmin=2,
-            )
+            arr = _read_csv(os.path.join(trajectories_path, folder, csv_name))
             tid = folder + "_" + csv_name.split(".")[0]
             trajectories[tid] = Trajectory(
                 trajectory_id=tid,

@@ -308,9 +308,63 @@ static PyObject* parse_clip(PyObject*, PyObject* args) {
   return out;
 }
 
+// parse_csv(data: bytes) -> (n_rows: int, n_cols: int, values: bytes /* f64 */)
+// Comma-separated floats, one trajectory row per line (the Morais CSV
+// format: frame, x1, y1, ..., x17, y17). Blank lines skipped; ragged rows
+// raise ValueError.
+static PyObject* parse_csv(PyObject*, PyObject* args) {
+  const char* data;
+  Py_ssize_t len;
+  if (!PyArg_ParseTuple(args, "y#", &data, &len)) return nullptr;
+
+  std::vector<double> values;
+  size_t n_rows = 0, n_cols = 0;
+  std::string error;
+  Py_BEGIN_ALLOW_THREADS;
+  try {
+    const char* p = data;
+    const char* end = data + len;
+    while (p < end) {
+      // skip blank lines
+      while (p < end && (*p == '\n' || *p == '\r')) ++p;
+      if (p >= end) break;
+      size_t cols = 0;
+      while (true) {
+        char* num_end = nullptr;
+        double v = std::strtod(p, &num_end);
+        if (num_end == p) throw std::runtime_error("bad number in CSV");
+        values.push_back(v);
+        ++cols;
+        p = num_end;
+        while (p < end && (*p == ' ' || *p == '\t')) ++p;
+        if (p < end && *p == ',') { ++p; continue; }
+        break;
+      }
+      while (p < end && *p != '\n') ++p;  // consume to EOL
+      if (n_cols == 0) n_cols = cols;
+      else if (cols != n_cols) throw std::runtime_error("ragged CSV row");
+      ++n_rows;
+    }
+  } catch (const std::exception& e) {
+    error = e.what();
+  }
+  Py_END_ALLOW_THREADS;
+  if (!error.empty()) {
+    PyErr_SetString(PyExc_ValueError, error.c_str());
+    return nullptr;
+  }
+  PyObject* buf = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(values.data()),
+      static_cast<Py_ssize_t>(values.size() * sizeof(double)));
+  return Py_BuildValue("nnN", static_cast<Py_ssize_t>(n_rows),
+                       static_cast<Py_ssize_t>(n_cols), buf);
+}
+
 static PyMethodDef methods[] = {
     {"parse_clip", parse_clip, METH_VARARGS,
      "Parse an AlphaPose tracked-person clip JSON into per-person buffers."},
+    {"parse_csv", parse_csv, METH_VARARGS,
+     "Parse a comma-separated float matrix (Morais trajectory CSV)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

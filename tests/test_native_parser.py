@@ -157,3 +157,48 @@ def test_duplicate_toplevel_person_matches_json_load(tmp_path, rng):
     python = _python_parse(str(path))
     _assert_same(native, python)
     assert native[0].frame_keys == [2]  # only the last occurrence survives
+
+
+def test_csv_parser_matches_loadtxt(tmp_path, rng):
+    from coskad_tpu.data.native import load_csv_native
+
+    arr = rng.normal(size=(40, 35))
+    arr[:, 0] = np.arange(1, 41)
+    path = tmp_path / "t.csv"
+    np.savetxt(path, arr, delimiter=",", fmt="%.8f")
+    native = load_csv_native(str(path))
+    ref = np.loadtxt(str(path), delimiter=",", ndmin=2)
+    np.testing.assert_allclose(native, ref)
+
+
+def test_csv_parser_scientific_and_blank_lines(tmp_path):
+    from coskad_tpu.data.native import load_csv_native
+
+    (tmp_path / "t.csv").write_text("1,2.5e-3,-4\n\n2,3.25E2,0.0\n")
+    out = load_csv_native(str(tmp_path / "t.csv"))
+    np.testing.assert_allclose(out, [[1, 2.5e-3, -4], [2, 325.0, 0.0]])
+
+
+def test_csv_parser_ragged_raises(tmp_path):
+    from coskad_tpu.data.native import load_csv_native
+
+    (tmp_path / "t.csv").write_text("1,2,3\n4,5\n")
+    with pytest.raises(ValueError):
+        load_csv_native(str(tmp_path / "t.csv"))
+
+
+def test_robust_pipeline_native_csv_equivalence(tmp_path, rng, monkeypatch):
+    from coskad_tpu.data.trajectories import load_trajectories
+
+    base = tmp_path / "training" / "trajectories" / "1-1"
+    base.mkdir(parents=True)
+    arr = np.concatenate([np.arange(1, 31)[:, None],
+                          rng.uniform(0, 800, size=(30, 34))], axis=1)
+    np.savetxt(base / "0001.csv", arr, delimiter=",", fmt="%.6f")
+    t_native = load_trajectories(str(tmp_path / "training" / "trajectories"))
+    monkeypatch.setenv("COSKAD_NATIVE", "0")
+    t_python = load_trajectories(str(tmp_path / "training" / "trajectories"))
+    for k in t_native:
+        np.testing.assert_allclose(t_native[k].coordinates,
+                                   t_python[k].coordinates, rtol=1e-6)
+        np.testing.assert_array_equal(t_native[k].frames, t_python[k].frames)
