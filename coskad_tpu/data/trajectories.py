@@ -184,9 +184,13 @@ class Trajectory:
 
 
 def _read_csv(path: str) -> np.ndarray:
-    """Morais CSV -> float32 [rows, cols]; C++ fast path with numpy
-    fallback (COSKAD_NATIVE=0 to disable)."""
-    if os.environ.get("COSKAD_NATIVE", "1") != "0":
+    """Morais CSV -> float32 [rows, cols].
+
+    numpy >= 2.x's loadtxt has a C tokenizer and measured ~25% FASTER than
+    our C++ parse_csv (30 vs 39 ms on a 10k x 35 file), so numpy is the
+    default; COSKAD_NATIVE_CSV=1 opts into the extension (useful on older
+    numpy where loadtxt is pure Python)."""
+    if os.environ.get("COSKAD_NATIVE_CSV", "0") == "1":
         from .native import load_csv_native
 
         arr = load_csv_native(path)

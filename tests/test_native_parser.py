@@ -195,8 +195,9 @@ def test_robust_pipeline_native_csv_equivalence(tmp_path, rng, monkeypatch):
     arr = np.concatenate([np.arange(1, 31)[:, None],
                           rng.uniform(0, 800, size=(30, 34))], axis=1)
     np.savetxt(base / "0001.csv", arr, delimiter=",", fmt="%.6f")
+    monkeypatch.setenv("COSKAD_NATIVE_CSV", "1")
     t_native = load_trajectories(str(tmp_path / "training" / "trajectories"))
-    monkeypatch.setenv("COSKAD_NATIVE", "0")
+    monkeypatch.setenv("COSKAD_NATIVE_CSV", "0")
     t_python = load_trajectories(str(tmp_path / "training" / "trajectories"))
     for k in t_native:
         np.testing.assert_allclose(t_native[k].coordinates,
