@@ -39,3 +39,30 @@ def test_anomaly_scorer_end_to_end(tmp_path):
 
     auc = roc_auc_score(gt, frame_scores)
     assert auc > 0.6  # trained 2 epochs; must beat chance clearly
+
+
+def test_scorer_robust_normalization_uses_checkpoint_scaler(tmp_path):
+    """Serving a robust-normalization model applies the checkpoint's fitted
+    scaler to incoming clips."""
+    import yaml
+
+    from coskad_tpu.cli import train as train_cli
+    from coskad_tpu.serve import AnomalyScorer
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    raw = yaml.safe_load(open(cfg_path))
+    raw["dataset_normalization_strategy"] = "robust"
+    raw["dataset_sub_mean"] = False
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "Synthetic", "smoke",
+                        "best.ckpt")
+    scorer = AnomalyScorer.from_checkpoint(ckpt)
+    assert scorer.scaler is not None  # restored from the checkpoint
+    clip_json = os.path.join(
+        str(tmp_path), "pose", "testing",
+        sorted(os.listdir(os.path.join(str(tmp_path), "pose", "testing")))[0])
+    gt = np.load(os.path.join(str(tmp_path), "gt", "01_0001.npy"))
+    scores = scorer.score_clip_json(clip_json, n_frames=len(gt))
+    assert scores.shape == (len(gt),) and np.isfinite(scores).all()
