@@ -80,21 +80,32 @@ def evaluate_windows(
     per_transform_auc: List[float] = []
     per_clip_auc: Dict[Tuple[int, int], float] = {}
 
-    for transformation in range(cfg.num_transform):
-        cond_t = trans == transformation
-        meta_t = meta[cond_t]
-        scores_t = window_scores[cond_t]
-        frames_t = frame_ids[cond_t]
+    # One lexicographic sort by (transform, scene, clip) replaces
+    # num_transform * num_clips full-array boolean masks (O(T*C*N) -> O(N
+    # log N)); per-group rows are then contiguous slices via searchsorted.
+    order = np.lexsort((meta[:, 1], meta[:, 0], trans))
+    trans_s = trans[order]
+    meta_s = meta[order]
+    scores_s = window_scores[order]
+    frames_s = frame_ids[order]
+    # composite sort key for range lookup (clip ids fit comfortably in the
+    # multipliers: scenes/clips are small ints)
+    scene_mult = int(max(meta[:, 1].max(), 0)) + 1 if len(meta) else 1
+    trans_mult = (int(max(meta[:, 0].max(), 0)) + 1) * scene_mult
+    key_s = trans_s * trans_mult + meta_s[:, 0] * scene_mult + meta_s[:, 1]
 
+    for transformation in range(cfg.num_transform):
         clip_scores_list: List[np.ndarray] = []
         gt_list: List[np.ndarray] = []
         for scene_idx, clip_idx in clip_keys:
             gt = np.asarray(ground_truths[(scene_idx, clip_idx)])
             n_frames = gt.shape[0]
-            cond_sc = (meta_t[:, 0] == scene_idx) & (meta_t[:, 1] == clip_idx)
-            meta_sc = meta_t[cond_sc]
-            scores_sc = scores_t[cond_sc]
-            frames_sc = frames_t[cond_sc]
+            key = transformation * trans_mult + scene_idx * scene_mult + clip_idx
+            lo = np.searchsorted(key_s, key, side="left")
+            hi = np.searchsorted(key_s, key, side="right")
+            meta_sc = meta_s[lo:hi]
+            scores_sc = scores_s[lo:hi]
+            frames_sc = frames_s[lo:hi]
 
             if len(meta_sc) == 0:
                 # No detected person at all: the clip scores 0 everywhere.
