@@ -12,16 +12,17 @@ import numpy as np
 
 
 def _average_ranks(x: np.ndarray) -> np.ndarray:
-    """1-based ranks with ties assigned the average rank (scipy 'average')."""
+    """1-based ranks with ties assigned the average rank (scipy 'average'),
+    fully vectorized (a Python loop over tie groups dominated large AUCs)."""
+    n = len(x)
     order = np.argsort(x, kind="mergesort")
-    ranks = np.empty(len(x), dtype=np.float64)
     sx = x[order]
-    # Boundaries of tied groups in the sorted array.
-    boundaries = np.nonzero(np.diff(sx))[0] + 1
-    starts = np.concatenate(([0], boundaries))
-    ends = np.concatenate((boundaries, [len(x)]))
-    for s, e in zip(starts, ends):
-        ranks[order[s:e]] = 0.5 * (s + 1 + e)  # average of ranks s+1 .. e
+    starts = np.concatenate(([0], np.nonzero(np.diff(sx))[0] + 1))
+    sizes = np.diff(np.append(starts, n))
+    # average of ranks (start+1) .. (start+size), 1-based
+    group_rank = starts + (sizes + 1) / 2.0
+    ranks = np.empty(n, dtype=np.float64)
+    ranks[order] = np.repeat(group_rank, sizes)
     return ranks
 
 
