@@ -45,7 +45,8 @@ def measure_tpu() -> float:
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     import jax.numpy as jnp
 
-    from coskad_tpu.config import Config, DataConfig, ModelConfig, OptConfig
+    from coskad_tpu.config import (Config, DataConfig, ModelConfig, OptConfig,
+                                   RunConfig)
     from coskad_tpu.data.windows import SegmentDataset
     from coskad_tpu.parallel import batch_sharding, create_mesh
     from coskad_tpu.train.loop import Trainer
@@ -58,6 +59,11 @@ def measure_tpu() -> float:
         data=DataConfig(seg_len=T, batch_size=BATCH, num_transform=5,
                         n_joints_override=V),
         opt=OptConfig(lr=1e-4),
+        # bfloat16 matmuls with fp32 params/accumulation/latents: the
+        # recommended TPU training precision. AUC-neutral on the reference
+        # head-to-head (0.9922 bf16 vs 0.9920 fp32 vs 0.9937 torch ref —
+        # RESULTS.md), +15% train throughput.
+        run=RunConfig(compute_dtype="bfloat16"),
     )
     rng = np.random.default_rng(0)
     ds = SegmentDataset(

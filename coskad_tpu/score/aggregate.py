@@ -88,10 +88,17 @@ def evaluate_windows(
     meta_s = meta[order]
     scores_s = window_scores[order]
     frames_s = frame_ids[order]
-    # composite sort key for range lookup (clip ids fit comfortably in the
-    # multipliers: scenes/clips are small ints)
-    scene_mult = int(max(meta[:, 1].max(), 0)) + 1 if len(meta) else 1
-    trans_mult = (int(max(meta[:, 0].max(), 0)) + 1) * scene_mult
+    # Composite sort key for range lookup. Multipliers must cover the ids in
+    # BOTH meta and the ground-truth keys: a gt clip with no detections and a
+    # larger id than any detected clip would otherwise collide with another
+    # (scene, clip) group's key and steal its windows.
+    max_clip = int(meta[:, 1].max()) if len(meta) else 0
+    max_scene = int(meta[:, 0].max()) if len(meta) else 0
+    if clip_keys:
+        max_scene = max(max_scene, max(k[0] for k in clip_keys))
+        max_clip = max(max_clip, max(k[1] for k in clip_keys))
+    scene_mult = max(max_clip, 0) + 1
+    trans_mult = (max(max_scene, 0) + 1) * scene_mult
     key_s = trans_s * trans_mult + meta_s[:, 0] * scene_mult + meta_s[:, 1]
 
     for transformation in range(cfg.num_transform):

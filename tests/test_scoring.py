@@ -196,6 +196,36 @@ def test_evaluate_windows_anomaly_detected():
     assert res.scores.shape == (n_frames,)
 
 
+def test_evaluate_windows_empty_clip_with_large_id_no_key_collision():
+    """A gt clip with NO detected windows whose id exceeds every detected
+    clip id must stay empty (score 0), not alias another group's composite
+    sort key and steal its windows."""
+    rng = np.random.default_rng(3)
+    t, n_frames = 12, 200
+    gt_anom = np.zeros(n_frames, dtype=int)
+    gt_anom[100:140] = 1
+    # Detected windows only for (scene=3, clip=4). With multipliers taken
+    # from meta alone, scene_mult = 4+1 = 5 and the window-less gt clip
+    # (2, 9) collides exactly: 2*5+9 == 3*5+4 == 19 — it would be served
+    # clip (3, 4)'s windows.
+    starts = np.arange(1, n_frames - t)
+    metas = [[3, 4, 0, s] for s in starts]
+    frames_l = [np.arange(s, s + t) for s in starts]
+    scores = np.array([1.0 if gt_anom[s - 1 : s - 1 + t].any() else 0.1
+                       for s in starts])
+    trans = np.zeros(len(starts), dtype=int)
+    gts = {(3, 4): gt_anom, (2, 9): np.r_[np.zeros(30, int), 1]}
+    res = aggregate.evaluate_windows(
+        scores, trans, np.asarray(metas), np.asarray(frames_l), gts,
+        aggregate.ScoringConfig(num_transform=1))
+    # clip keys iterate sorted: the empty (2, 9) clip comes first and must
+    # contribute all-zero scores for its 31 frames
+    assert res.scores.shape == (31 + n_frames,)
+    np.testing.assert_allclose(res.scores[:31], 0.0)
+    # and the real clip still detects its anomaly span
+    assert res.per_clip_auc[(3, 4)] > 0.9
+
+
 def test_hr_ubnormal_mask_loading(tmp_path):
     from coskad_tpu.score.masks import hr_ubnormal
 
