@@ -248,3 +248,70 @@ def test_include_global_seven_channel_training(tmp_path, rng):
     trainer = Trainer(cfg, ds)
     state, history = trainer.fit()
     assert np.isfinite(history["loss"]).all()
+
+
+def test_cli_train_eval_include_global_robust(tmp_path):
+    """Full CLI path for num_coords=6: robust CSVs -> 7-channel windows ->
+    train -> checkpoint -> eval AUC (reference PoseDatasetRobust
+    include_global consumed via utils/dataset.py:310-320 when
+    args.num_coords == 6)."""
+    import yaml
+
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli import train as train_cli
+
+    root = str(tmp_path)
+    n_frames = 120
+    _write_csv_tree(root, split="training", n_clips=2, n_frames=n_frames)
+    _write_csv_tree(root, split="testing", n_clips=2, n_frames=n_frames,
+                    seed=3)
+    gt_dir = os.path.join(root, "gt")
+    os.makedirs(gt_dir)
+    for c in (1, 2):
+        gt = np.zeros(n_frames, dtype=np.uint8)
+        gt[40:70] = 1
+        np.save(os.path.join(gt_dir, f"1_{c}.npy"), gt)
+
+    cfg = {
+        "dataset_choice": "Synthetic",
+        "dataset_path_to_robust": root,
+        "gt_path": gt_dir,
+        "exp_dir": os.path.join(root, "checkpoints"),
+        "dir_name": "global7",
+        "seed": 0,
+        "validation": False,
+        "static_center": True,
+        "num_coords": 6,
+        "channels": [16, 8],
+        "h_dim": 16,
+        "latent_dim": 8,
+        "projector": "linear",
+        "alpha": 1e-6,
+        "dataset_seg_len": 6,
+        "dataset_seg_stride": 1,
+        "dataset_num_transform": 2,
+        "dataset_vid_res": [856, 480],
+        "dataset_kp18_format": False,
+        "dataset_normalize_pose": True,
+        "dataset_normalization_strategy": "robust",
+        "dataset_batch_size": 128,
+        "ae_epochs": 1,
+        "opt_lr": 1e-4,
+        "pad_size": -1,
+        "smoothing": 50,
+        "use_hr": False,
+    }
+    cfg_path = os.path.join(root, "global7.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+    ckpt_dir = os.path.join(root, "checkpoints", "Synthetic", "global7")
+    assert os.path.exists(os.path.join(ckpt_dir, "last.ckpt"))
+    # the global-feature scaler persisted alongside the local one
+    assert os.path.exists(os.path.join(ckpt_dir, "global_robust.pickle"))
+
+    result = eval_cli.main(["--config", cfg_path])
+    assert np.isfinite(result.auc) and 0.0 <= result.auc <= 1.0
+    assert len(result.per_transform_auc) == 2
+    assert result.scores.shape == (2 * n_frames,)
