@@ -79,3 +79,27 @@ def test_stc_and_avenue_configs_load():
             "hyperbolic",
         )
         assert cfg.data.seg_len > 0 and cfg.data.batch_size > 0
+
+
+def test_shipped_configs_parse_and_dispatch():
+    """Every YAML under config/ loads and selects the variant its filename
+    promises, with the TPU precision knob set."""
+    import glob
+
+    from coskad_tpu.config import from_reference_yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "config", "*", "*.yaml")))
+    assert len(paths) >= 8
+    expect = {
+        "euclidean_encoder": "euclidean_dynamic",
+        "euclidean_autoencoder": "autoencoder",
+        "spherical_vae": "vae",
+        "hyperbolic_encoder": "hyperbolic",
+    }
+    for p in paths:
+        cfg = from_reference_yaml(p)
+        stem = os.path.splitext(os.path.basename(p))[0]
+        assert cfg.model.variant == expect[stem], p
+        assert cfg.run.compute_dtype == "bfloat16", p
+        assert cfg.data.dataset_choice == os.path.basename(os.path.dirname(p)), p
