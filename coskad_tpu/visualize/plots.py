@@ -134,3 +134,34 @@ def plot_latents(
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         fig.savefig(path)
     plt.close(fig)
+
+
+def per_clip_auc_table(
+    per_clip_auc: dict, fmt: str = "markdown", sort_by: str = "auc"
+) -> str:
+    """Render {(scene, clip): auc} as a markdown or LaTeX table — the
+    analysis the reference keeps in its notebook's HR-UBnormal stats cell
+    (visualize/visualize.ipynb).
+
+    Args:
+        per_clip_auc: e.g. EvalResult.per_clip_auc from score.aggregate.
+        fmt: 'markdown' or 'latex'.
+        sort_by: 'auc' (ascending — worst clips first) or 'clip'.
+    """
+    items = sorted(
+        per_clip_auc.items(),
+        key=(lambda kv: kv[1]) if sort_by == "auc" else (lambda kv: kv[0]),
+    )
+    rows = [(f"{s}_{c}", f"{auc:.4f}") for (s, c), auc in items]
+    if fmt == "latex":
+        lines = [
+            r"\begin{tabular}{lr}", r"\toprule",
+            r"clip & AUC \\", r"\midrule",
+            *[f"{name} & {auc} \\\\" for name, auc in rows],
+            r"\bottomrule", r"\end{tabular}",
+        ]
+        return "\n".join(lines)
+    if fmt != "markdown":
+        raise ValueError(f"unknown fmt {fmt!r}")
+    return "\n".join(["| clip | AUC |", "|---|---|",
+                      *[f"| {name} | {auc} |" for name, auc in rows]])

@@ -100,3 +100,17 @@ def test_plot_latents_2d_input(tmp_path, rng):
     z = rng.normal(size=(50, 2))
     plot_latents(z, path=str(tmp_path / "l2.png"))  # default three_d=True
     assert os.path.getsize(tmp_path / "l2.png") > 0
+
+
+def test_per_clip_auc_table_formats():
+    from coskad_tpu.visualize.plots import per_clip_auc_table
+
+    d = {(1, 2): 0.91234, (1, 1): 0.85, (2, 1): 0.99}
+    md = per_clip_auc_table(d)
+    assert md.splitlines()[2] == "| 1_1 | 0.8500 |"  # worst first
+    tex = per_clip_auc_table(d, fmt="latex", sort_by="clip")
+    assert "1_1 & 0.8500 \\\\" in tex and tex.startswith("\\begin{tabular}")
+    import pytest
+
+    with pytest.raises(ValueError):
+        per_clip_auc_table(d, fmt="html")
