@@ -525,5 +525,18 @@ class Trainer:
                         )
                         self._since_best = 0
             state = self.apply_epoch_updates(state)
+            if cfg.model.variant == "hyperbolic":
+                # epoch-end center norms the reference logs
+                # (hyperbolic_encoder.py:179-186): euclidean norm of the ball
+                # point and its geodesic distance from the origin.
+                c = state.center
+                self.logger.log(
+                    {
+                        "center/eucl": float(jnp.linalg.norm(c)),
+                        "center/hyp": float(hyp.dist0(c)),
+                    },
+                    int(state.step),
+                    force=True,
+                )
         self._epochs_done += epochs
         return state, history
