@@ -150,3 +150,26 @@ def test_eval_cli_hr_masks_path(tmp_path):
     result = eval_cli.main(["--config", cfg_path])
     assert result.scores.shape == (len(gt) - 50,)
     assert len(result.gt) == len(gt) - 50
+
+
+def test_train_cli_resume_continues_epochs(tmp_path, capsys):
+    """--resume restores last.ckpt and continues from the next epoch with
+    the trainer state reattached (mesh-sharded center/opt hyperparams)."""
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli import train as train_cli
+    from coskad_tpu.train.checkpoint import read_payload
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    train_cli.main(["--config", cfg_path, "--epochs", "2"])
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "Synthetic", "smoke",
+                        "last.ckpt")
+    assert read_payload(ckpt)["extra"]["epoch"] == 1
+
+    train_cli.main(["--config", cfg_path, "--epochs", "3", "--resume"])
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at epoch 2" in out
+    assert read_payload(ckpt)["extra"]["epoch"] == 2
+
+    result = eval_cli.main(["--config", cfg_path])
+    assert np.isfinite(result.auc) and result.auc > 0.6
