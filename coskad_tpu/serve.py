@@ -138,6 +138,15 @@ class AnomalyScorer:
         d = self.cfg.data
         trajectories = parse_clip_json(path, d.kp_threshold)
         data, meta, ids = segment_clip(trajectories, 0, 0, d.start_offset, 1, d.seg_len)
+        if len(meta) == 0:
+            # No tracked person in the clip: score 0 everywhere, like the
+            # offline aggregation's empty-clip branch (score/aggregate.py).
+            if n_frames is None:
+                raise ValueError(
+                    f"clip {path!r} has no tracked people; pass n_frames to "
+                    "get an all-zero score vector"
+                )
+            return np.zeros(n_frames)
         if d.kp18_format and data.shape[-2] == 17:
             data = keypoints17_to_coco18(data)
         if d.headless:
@@ -165,6 +174,13 @@ class AnomalyScorer:
         actors = np.unique(meta[:, 2])
         dense = np.searchsorted(actors, meta[:, 2])
         per_actor = actor_frame_scores(scores, dense, ids, n_frames, len(actors))
+        if self.cfg.eval.pad_size != -1:
+            from .score.frames import pad_scores
+
+            per_actor = np.stack([
+                pad_scores(row, n_frames, self.cfg.eval.pad_size)
+                for row in per_actor
+            ])
         clip_score = per_actor.max(axis=0)
         if smooth:
             clip_score = score_process(clip_score)

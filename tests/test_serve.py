@@ -66,3 +66,39 @@ def test_scorer_robust_normalization_uses_checkpoint_scaler(tmp_path):
     gt = np.load(os.path.join(str(tmp_path), "gt", "01_0001.npy"))
     scores = scorer.score_clip_json(clip_json, n_frames=len(gt))
     assert scores.shape == (len(gt),) and np.isfinite(scores).all()
+
+
+def test_score_clip_json_empty_clip_and_pad(tmp_path):
+    """A clip with no tracked people returns zeros (with n_frames) or a
+    clear error (without); pad_size from the config is applied like
+    offline eval (reference eval_COSKAD.py:179-183)."""
+    import dataclasses
+    import json
+
+    from coskad_tpu.cli import train as train_cli
+    from coskad_tpu.serve import AnomalyScorer, config_from_snapshot
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "Synthetic", "smoke",
+                        "best.ckpt")
+    scorer = AnomalyScorer.from_checkpoint(ckpt)
+
+    empty = tmp_path / "empty_tracked.json"
+    empty.write_text(json.dumps({}))
+    scores = scorer.score_clip_json(str(empty), n_frames=40)
+    assert scores.shape == (40,) and (scores == 0).all()
+    with pytest.raises(ValueError, match="no tracked people"):
+        scorer.score_clip_json(str(empty))
+
+    # pad_size path: a padded scorer still returns a full-length vector
+    cfg2 = dataclasses.replace(
+        scorer.cfg, eval=dataclasses.replace(scorer.cfg.eval, pad_size=5))
+    scorer2 = AnomalyScorer.from_checkpoint(ckpt, cfg=cfg2)
+    clip_json = os.path.join(
+        str(tmp_path), "pose", "testing",
+        sorted(os.listdir(os.path.join(str(tmp_path), "pose", "testing")))[0])
+    gt = np.load(os.path.join(str(tmp_path), "gt", "01_0001.npy"))
+    out = scorer2.score_clip_json(clip_json, n_frames=len(gt))
+    assert out.shape == (len(gt),) and np.isfinite(out).all()
