@@ -238,3 +238,32 @@ def test_training_is_deterministic_per_seed():
     for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
                     jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(a, b)
+
+
+@pytest.mark.parametrize("variant", ["euclidean_static", "hyperbolic", "vae"])
+def test_bfloat16_compute_traces_with_fp32_boundaries(variant):
+    """compute_dtype=bfloat16 (the benched/recommended TPU precision)
+    traces the full train step and keeps the fp32 boundaries: loss,
+    latents, center accumulators. Execution-level bf16 runs on TPU only
+    (XLA-CPU has no BF16xBF16->F32 dot kernel); the accuracy evidence is
+    the head-to-head in RESULTS.md."""
+    import jax
+
+    trainer, cfg = _make_trainer(variant)
+    cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, compute_dtype="bfloat16"))
+    trainer2 = Trainer(cfg, trainer.train_ds)
+    state = trainer2.init_state()
+    idx = jnp.arange(cfg.data.batch_size)
+    out_state, metrics = jax.eval_shape(
+        lambda s, d, i: trainer2._train_step(s, d, i),
+        state, trainer2.train_data, idx,
+    )
+    assert metrics["loss"].dtype == jnp.float32
+    assert out_state.center.dtype == jnp.float32
+    assert out_state.acc_vec.dtype == jnp.float32
+    z, _rec = jax.eval_shape(
+        lambda p, b, d, i, r: trainer2._embed_many(p, b, d, i[None], r),
+        state.params, state.batch_stats, trainer2.train_data, idx, state.rng,
+    )
+    assert z.dtype == jnp.float32  # latents stay fp32 for the geometry
