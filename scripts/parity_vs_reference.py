@@ -13,6 +13,12 @@ Measured 2026-08-16 (20 epochs, batch 256, identical data):
     reference torch pipeline final AUC: 0.9937 (train loss 0.00303)
     coskad_tpu final AUC:               0.9920 (train loss 0.00300)
     delta: 0.17% — within BASELINE.md's 0.5% parity band.
+
+Precision ablations on the same data (compute_dtype / freeze_bn_after set
+in the generated smoke.yaml, everything else identical):
+    bfloat16 compute:                   0.9922
+    bfloat16 + freeze_bn_after=10:      0.9928
+both inside the parity band — bfloat16 is the benched TPU precision.
 """
 import sys, os, json
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
