@@ -245,3 +245,75 @@ def test_hr_glob_derived_from_reference_yaml():
     })
     assert cfg.eval.hr_masks_glob == \
         "/data/UBnormal/hr_bool_masks/testing/test_frame_mask/*"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_evaluate_windows_matches_naive_masks(seed):
+    """Differential check: the lexsort+searchsorted fast path produces
+    byte-identical results to a naive boolean-mask implementation on random
+    ragged inputs (uneven clips, missing (transform, clip) groups, empty
+    clips, HR + Avenue masks, pad_scores on)."""
+    rng = np.random.default_rng(seed)
+    t, num_t = 8, 3
+    clip_keys = [(1, 1), (1, 3), (2, 2), (2, 7)]
+    gts, rows = {}, []
+    for s, c in clip_keys:
+        nf = int(rng.integers(160, 260))
+        gt = np.zeros(nf, dtype=int)
+        a0 = int(rng.integers(20, nf - 60))
+        gt[a0 : a0 + 40] = 1
+        gts[(s, c)] = gt
+        if (s, c) == (2, 7):
+            continue  # one clip with zero detections
+        for tr in range(num_t):
+            if (s, c) == (1, 3) and tr == 1:
+                continue  # one missing (transform, clip) group
+            for actor in rng.choice(10, size=rng.integers(1, 4), replace=False):
+                for st in range(1, nf - t, 2):
+                    rows.append((tr, s, c, int(actor), st,
+                                 float(rng.random()) * (2.0 if gt[st - 1] else 1.0)))
+    rng.shuffle(rows)
+    trans = np.array([r[0] for r in rows])
+    meta = np.array([[r[1], r[2], r[3], r[4]] for r in rows])
+    frames_arr = np.array([np.arange(r[4], r[4] + t) for r in rows])
+    scores = np.array([r[5] for r in rows])
+
+    hr = {(1, 1): rng.random(len(gts[(1, 1)])) > 0.2}
+    avenue = {2: rng.random(len(gts[(2, 2)])) > 0.1}
+    cfg = aggregate.ScoringConfig(num_transform=num_t, pad_size=4)
+
+    def naive(ws, tr_arr, m, f, g, c, hr_m, av_m):
+        from coskad_tpu.score.smoothing import score_process
+        keys = sorted(g.keys())
+        per_t_scores, per_t_gt = [], []
+        for transformation in range(c.num_transform):
+            cs_list, gt_list = [], []
+            for (si, ci) in keys:
+                gt_ = np.asarray(g[(si, ci)])
+                nf = gt_.shape[0]
+                mask = (tr_arr == transformation) & (m[:, 0] == si) & (m[:, 1] == ci)
+                if not mask.any():
+                    cscore = np.zeros(nf)
+                else:
+                    fig = np.unique(m[mask][:, 2])
+                    dense = np.searchsorted(fig, m[mask][:, 2])
+                    pa = frames.actor_frame_scores(ws[mask], dense, f[mask], nf, len(fig))
+                    pa = np.stack([frames.pad_scores(r_, nf, c.pad_size) for r_ in pa])
+                    cscore = np.amax(pa, axis=0)
+                if (si, ci) in hr_m:
+                    cscore, gt_ = cscore[hr_m[(si, ci)]], gt_[hr_m[(si, ci)]]
+                elif ci in av_m:
+                    cscore, gt_ = cscore[av_m[ci]], gt_[av_m[ci]]
+                cs_list.append(score_process(cscore, c.smoothing_sigma, c.shift))
+                gt_list.append(gt_)
+            per_t_scores.append(np.concatenate(cs_list))
+            per_t_gt.append(np.concatenate(gt_list))
+        return np.mean(np.stack(per_t_scores), 0), per_t_gt[0]
+
+    res = aggregate.evaluate_windows(scores, trans, meta, frames_arr, gts,
+                                     cfg, hr_clip_masks=hr,
+                                     avenue_clip_masks=avenue)
+    want_scores, want_gt = naive(scores, trans, meta, frames_arr, gts, cfg,
+                                 hr, avenue)
+    np.testing.assert_array_equal(res.scores, want_scores)
+    np.testing.assert_array_equal(res.gt, want_gt)
