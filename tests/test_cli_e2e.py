@@ -173,3 +173,29 @@ def test_train_cli_resume_continues_epochs(tmp_path, capsys):
 
     result = eval_cli.main(["--config", cfg_path])
     assert np.isfinite(result.auc) and result.auc > 0.6
+
+
+def test_eval_cli_rec_weight_modes(tmp_path):
+    """--rec-weight selects the autoencoder scoring mode like the reference
+    (0 -> latent distance, >100 -> reconstruction, else rec/weight +
+    latent; utils/eval_utils.py:77-106 loss_type dispatch)."""
+    import yaml
+
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli import train as train_cli
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    raw = yaml.safe_load(open(cfg_path))
+    raw["use_decoder"] = True
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+
+    base = eval_cli.main(["--config", cfg_path])
+    rec = eval_cli.main(["--config", cfg_path, "--rec-weight", "200"])
+    both = eval_cli.main(["--config", cfg_path, "--rec-weight", "0.5"])
+    for r in (base, rec, both):
+        assert np.isfinite(r.auc) and 0.0 <= r.auc <= 1.0
+    # reconstruction scoring produces genuinely different frame scores
+    assert not np.allclose(base.scores, rec.scores)
+    assert not np.allclose(base.scores, both.scores)
