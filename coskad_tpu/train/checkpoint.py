@@ -85,3 +85,66 @@ def restore(
         payload = read_payload(path)
     state = serialization.from_state_dict(template_state, payload["state"])
     return state, _scaler_of(payload), payload.get("extra", {})
+
+
+# --------------------------------------------------------------- orbax flavor
+#
+# Directory-format Orbax checkpoints for production/multi-host runs: sharded
+# arrays are written per-host (no device_get gather through one process) and
+# saves can be made async. The msgpack flavor above stays the default — at
+# this model size (<300k params) a single file is simpler and faster.
+
+
+def _array_tree(state: TrainState):
+    return jax.tree.map(np.asarray, serialization.to_state_dict(state))
+
+
+def save_orbax(
+    path: str,
+    state: TrainState,
+    cfg: Optional[Config] = None,
+    scaler: Optional[RobustScalerState] = None,
+    extra: Optional[dict] = None,
+) -> str:
+    """Write an Orbax (directory) checkpoint. Scaler and extra metadata go
+    to a `<path>.extra.json` sidecar; config snapshots to
+    `<path>.config.json` like the msgpack flavor."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _array_tree(state), force=True)
+    sidecar = {"extra": extra or {}}
+    if scaler is not None:
+        sidecar["scaler"] = {"center": np.asarray(scaler.center).tolist(),
+                             "scale": np.asarray(scaler.scale).tolist()}
+    with open(path + ".extra.json", "w") as f:
+        json.dump(sidecar, f)
+    if cfg is not None:
+        with open(path + ".config.json", "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    return path
+
+
+def restore_orbax(
+    path: str, template_state: TrainState
+) -> Tuple[TrainState, Optional[RobustScalerState], dict]:
+    """Restore an Orbax checkpoint written by save_orbax."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path, _array_tree(template_state))
+    state = serialization.from_state_dict(template_state, tree)
+    scaler, extra = None, {}
+    sidecar_path = path + ".extra.json"
+    if os.path.exists(sidecar_path):
+        with open(sidecar_path) as f:
+            sidecar = json.load(f)
+        extra = sidecar.get("extra", {})
+        if "scaler" in sidecar:
+            scaler = RobustScalerState(
+                center=np.asarray(sidecar["scaler"]["center"]),
+                scale=np.asarray(sidecar["scaler"]["scale"]),
+            )
+    return state, scaler, extra

@@ -199,3 +199,43 @@ def test_eval_cli_rec_weight_modes(tmp_path):
     # reconstruction scoring produces genuinely different frame scores
     assert not np.allclose(base.scores, rec.scores)
     assert not np.allclose(base.scores, both.scores)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The Orbax (directory) flavor restores identical state + scaler +
+    extra; latents match the msgpack flavor's."""
+    pytest.importorskip("orbax.checkpoint")
+    from coskad_tpu.cli.common import load_config, load_split
+    from coskad_tpu.data.normalize import RobustScalerState
+    from coskad_tpu.train import checkpoint
+    from coskad_tpu.train.loop import Trainer
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    cfg = load_config(cfg_path)
+    ds = load_split(cfg, "train")
+    trainer = Trainer(cfg, ds)
+    state = trainer.initialize_center(trainer.init_state())
+    state, _ = trainer.fit(state=state, epochs=1)
+
+    scaler = RobustScalerState(center=np.arange(4.0), scale=np.ones(4))
+    path = os.path.join(str(tmp_path), "orbax_ck")
+    checkpoint.save_orbax(path, state, cfg, scaler=scaler,
+                          extra={"epoch": 3})
+    assert os.path.isdir(path)
+    assert os.path.exists(path + ".config.json")
+
+    trainer2 = Trainer(cfg, ds)
+    restored, scaler2, extra = checkpoint.restore_orbax(
+        path, trainer2.init_state())
+    assert extra == {"epoch": 3}
+    np.testing.assert_allclose(scaler2.center, scaler.center)
+    np.testing.assert_allclose(np.asarray(restored.center),
+                               np.asarray(state.center))
+    z1 = trainer.embed_all(state, ds, trainer.train_data)
+    z2 = trainer2.embed_all(trainer2.attach_state(restored), ds,
+                            trainer2.train_data)
+    np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-6)
+
+    # overwrite-in-place must not fail (force=True path)
+    checkpoint.save_orbax(path, state)
