@@ -240,7 +240,7 @@ def test_training_is_deterministic_per_seed():
         np.testing.assert_allclose(a, b)
 
 
-@pytest.mark.parametrize("variant", ["euclidean_static", "hyperbolic", "vae"])
+@pytest.mark.parametrize("variant", VARIANTS)
 def test_bfloat16_compute_traces_with_fp32_boundaries(variant):
     """compute_dtype=bfloat16 (the benched/recommended TPU precision)
     traces the full train step and keeps the fp32 boundaries: loss,
