@@ -58,6 +58,27 @@ def load_split(
 
         with open(scaler_pkl, "rb") as f:
             scaler = pickle.load(f)
+    if cfg.run.device_pipeline:
+        from ..data.alphapose import load_alphapose_store
+
+        return load_alphapose_store(
+            pose_dir,
+            seg_len=d.seg_len,
+            seg_stride=stride if stride is not None else d.seg_stride,
+            start_offset=d.start_offset,
+            num_clips=d.num_clips,
+            kp_threshold=d.kp_threshold,
+            kp18_format=d.kp18_format,
+            headless=d.headless,
+            normalization_strategy=(
+                d.normalization_strategy if d.normalize_pose else "none"
+            ),
+            vid_res=d.vid_res,
+            symm_range=d.symm_range,
+            sub_mean=d.sub_mean,
+            scaler=scaler,
+            num_transform=d.num_transform,
+        )
     ds = load_alphapose_split(
         pose_dir,
         seg_len=d.seg_len,

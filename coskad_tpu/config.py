@@ -136,6 +136,10 @@ class RunConfig:
     # throughput measured; a semantic deviation from the reference, off by
     # default (see DESIGN.md section 6).
     freeze_bn_after: int = -1
+    # Fused on-device preprocessing (data/device_pipeline.py): trajectories
+    # stay HBM-resident; windowing/normalization/transforms happen in-jit.
+    # ~12x less HBM at stride 1; AlphaPose pipeline only.
+    device_pipeline: bool = False
 
 
 @dataclass
@@ -290,5 +294,6 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         freeze_bn_after=get("freeze_bn_after", -1),
         data_parallel=get("data_parallel", -1),
         model_parallel=get("model_parallel", 1),
+        device_pipeline=get("device_pipeline", False),
     )
     return Config(model=model, data=data, opt=opt, eval=ev, run=run)

@@ -154,3 +154,63 @@ def load_alphapose_split(
         means=means,
         scaler=scaler_out,
     )
+
+
+def load_alphapose_store(
+    json_dir: str,
+    seg_len: int = 12,
+    seg_stride: int = 1,
+    start_offset: int = 0,
+    num_clips: Optional[int] = None,
+    kp_threshold: float = 0.0,
+    kp18_format: bool = True,
+    headless: bool = False,
+    normalization_strategy: str = "markovitz",
+    vid_res: Sequence[int] = (856, 480),
+    symm_range: bool = True,
+    sub_mean: bool = True,
+    scaler=None,
+    num_transform: int = 5,
+):
+    """Directory of per-clip AlphaPose JSONs -> device-resident
+    TrajectoryStore (data/device_pipeline.py): raw trajectories go to HBM
+    once; windowing, normalization and affine transforms happen in-jit per
+    batch. Same window enumeration and normalization semantics as
+    load_alphapose_split, ~12x less HBM at stride 1 (whole trajectories
+    instead of overlapping windows).
+
+    The 'robust' strategy needs a host-fitted scaler (pass `scaler`);
+    unlike the host pipeline the store cannot fit one on the fly.
+    """
+    from .device_pipeline import build_store
+
+    if normalization_strategy == "robust" and scaler is None:
+        raise ValueError(
+            "device_pipeline with robust normalization needs a pre-fitted "
+            "scaler (fit once via the host pipeline or restore from a "
+            "checkpoint)"
+        )
+    json_list = sorted(fn for fn in os.listdir(json_dir) if fn.endswith(".json"))
+    if num_clips is not None:
+        json_list = json_list[:num_clips]
+    clips = []
+    for fn in json_list:
+        scene_id, clip_id = scene_clip_from_filename(fn)
+        clips.append(
+            (scene_id, clip_id,
+             parse_clip_json(os.path.join(json_dir, fn), kp_threshold))
+        )
+    return build_store(
+        clips,
+        seg_len=seg_len,
+        seg_stride=seg_stride,
+        start_offset=start_offset,
+        kp18_format=kp18_format,
+        headless=headless,
+        num_transform=num_transform,
+        normalization=normalization_strategy,
+        vid_res=tuple(vid_res),
+        symm_range=symm_range,
+        sub_mean=sub_mean,
+        scaler=scaler,
+    )

@@ -64,6 +64,17 @@ class TrajectoryStore:
     def __len__(self) -> int:
         return self.num_windows * max(self.num_transform, 1)
 
+    @property
+    def scaler(self):
+        """RobustScalerState view of the fitted scaler (checkpointing wants
+        the same attribute the SegmentDataset pipeline exposes)."""
+        if self.scaler_center is None:
+            return None
+        from .normalize import RobustScalerState
+
+        return RobustScalerState(center=self.scaler_center,
+                                 scale=self.scaler_scale)
+
 
 def build_store(
     clips: Sequence[Tuple[int, int, Sequence[PersonTrajectory]]],

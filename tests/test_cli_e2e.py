@@ -239,3 +239,29 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
 
     # overwrite-in-place must not fail (force=True path)
     checkpoint.save_orbax(path, state)
+
+
+def test_cli_device_pipeline_matches_windows_pipeline(tmp_path):
+    """device_pipeline: true routes the CLIs through the fused on-device
+    preprocessing (TrajectoryStore); final eval AUC matches the
+    materialized-windows pipeline on the same data."""
+    import yaml
+
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli import train as train_cli
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    train_cli.main(["--config", cfg_path, "--epochs", "2"])
+    base = eval_cli.main(["--config", cfg_path])
+
+    raw = yaml.safe_load(open(cfg_path))
+    raw["device_pipeline"] = True
+    raw["dir_name"] = "smoke_dev"
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    train_cli.main(["--config", cfg_path, "--epochs", "2"])
+    dev = eval_cli.main(["--config", cfg_path])
+
+    assert np.isfinite(dev.auc) and dev.auc > 0.6
+    # independent training runs; the pipelines must agree on ranking quality
+    assert abs(dev.auc - base.auc) < 0.05
