@@ -134,3 +134,24 @@ def test_train_through_store_pipeline(tmp_path, rng):
     )
     state, history = tr_store.fit(state=s1, epochs=1)
     assert np.isfinite(history["loss"]).all()
+
+
+def test_load_alphapose_store_loader(tmp_path, rng):
+    """The directory-level store loader (used by the CLI's device_pipeline
+    knob) walks clips like load_alphapose_split: identical window metadata,
+    and a clear error for robust normalization without a fitted scaler."""
+    _clip_files(tmp_path, rng)
+    host = alphapose.load_alphapose_split(
+        str(tmp_path), seg_len=12, seg_stride=1, kp18_format=True,
+        normalization_strategy="markovitz", num_transform=3)
+    store = alphapose.load_alphapose_store(
+        str(tmp_path), seg_len=12, seg_stride=1, kp18_format=True,
+        normalization_strategy="markovitz", num_transform=3)
+    assert store.num_windows == host.num_windows
+    assert len(store) == len(host)  # windows x transforms
+    np.testing.assert_array_equal(store.meta, host.meta)
+    np.testing.assert_array_equal(store.frame_ids, host.frame_ids)
+
+    with pytest.raises(ValueError, match="pre-fitted"):
+        alphapose.load_alphapose_store(
+            str(tmp_path), normalization_strategy="robust")
