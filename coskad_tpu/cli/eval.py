@@ -95,10 +95,21 @@ def main(argv=None):
         ScoringConfig(num_transform=k, pad_size=cfg.eval.pad_size),
         hr_clip_masks=hr_masks, avenue_clip_masks=avenue,
     )
-    for (scene, clip), auc in sorted(result.per_clip_auc.items()):
-        print(f"clip {scene}_{clip}: auc={auc:.4f}")
-    for t, auc in enumerate(result.per_transform_auc):
-        print(f"transform {t + 1}/{k}: auc={auc:.4f}")
+    # Per-clip AUC inside every transform iteration with a running average,
+    # structurally matching the reference's printout (eval_COSKAD.py:222-240).
+    clip_keys = sorted({(s, c) for (_, s, c) in result.per_clip_auc_all})
+    for t in range(k):
+        errors = []
+        for idx, (scene, clip) in enumerate(clip_keys):
+            auc = result.per_clip_auc_all.get((t, scene, clip), float("nan"))
+            errors.append(auc)
+            print(
+                f"transf: {t + 1}/{k}, clip: ({scene}, {clip}) "
+                f"{idx + 1}/{len(clip_keys)}, score: {auc} "
+                f"average_score: {np.nanmean(np.asarray(errors, float))}"
+            )
+        print(f"\nTest set score for transformation {t + 1}\n")
+        print(f"auc = {result.per_transform_auc[t]}")
     print(f"final AUC score: {result.auc:.6f}")
     return result
 

@@ -95,7 +95,17 @@ class OptConfig:
     phi: float = 1.0  # VAE reconstruction weight
     beta: float = 0.001  # VAE KL weight
     gamma: float = 0.01  # VAE expected-distance weight
-    warmup_epochs: int = 10  # VAE warmup
+    # Live LR schedule consumed by the Trainer (train/schedulers.py):
+    # '' | 'tri' | 'step' | 'exp' | 'cosine'. Default '' keeps the reference
+    # MAIN-PATH behavior (constant lr + ReduceLROnPlateau when validation is
+    # on). The reference's own `opt_scheduler` YAML key (default 'tri',
+    # utils/argparser.py:137) is dead code there — every Lightning module's
+    # configure_optimizers hardcodes plateau/cosine and
+    # utils/model_utils.get_optim_and_scheduler has no caller — so honoring
+    # that key here would *break* parity with what the reference actually
+    # runs. Opt in explicitly with this new key instead.
+    lr_schedule: str = ""
+    lr_decay: float = 0.99  # decay for lr_schedule='exp' (reference opt_lr_decay)
     center_tolerance: float = 0.001
     validation: bool = False
     # Contrastive auxiliary loss (the reference's double_item /
@@ -262,7 +272,12 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         phi=get("phi", 1.0),
         beta=get("beta", 0.001),
         gamma=get("gamma", 0.01),
-        warmup_epochs=get("warmup_epochs", 10),
+        # `warmup_epochs` is accepted-and-dropped: the reference's
+        # warmup_counter is dead code (spherical_vae.py:54,114-115 — only a
+        # commented-out loss reads it), so there is nothing live to wire.
+        # `opt_scheduler` is likewise dropped (see OptConfig.lr_schedule).
+        lr_schedule=get("lr_schedule", ""),
+        lr_decay=get("opt_lr_decay", 0.99),
         center_tolerance=get("center_tolerance", 0.001),
         contrastive_weight=get("contrastive_weight",
                                0.1 if get("dataset_double_item", False) else 0.0),

@@ -39,7 +39,11 @@ class ScoringConfig:
 class EvalResult:
     auc: float
     per_transform_auc: List[float]
+    # transform-0 per-clip AUCs (back-compat convenience view)
     per_clip_auc: Dict[Tuple[int, int], float] = field(default_factory=dict)
+    # every transform, like the reference's per-iteration printout
+    # (eval_COSKAD.py:222-230): {(transform, scene, clip): auc}
+    per_clip_auc_all: Dict[Tuple[int, int, int], float] = field(default_factory=dict)
     scores: Optional[np.ndarray] = None  # final per-frame scores (masked+smoothed)
     gt: Optional[np.ndarray] = None
 
@@ -79,6 +83,7 @@ def evaluate_windows(
     per_transform_gt: List[np.ndarray] = []
     per_transform_auc: List[float] = []
     per_clip_auc: Dict[Tuple[int, int], float] = {}
+    per_clip_auc_all: Dict[Tuple[int, int, int], float] = {}
 
     # One lexicographic sort by (transform, scene, clip) replaces
     # num_transform * num_clips full-array boolean masks (O(T*C*N) -> O(N
@@ -142,11 +147,15 @@ def evaluate_windows(
             clip_scores_list.append(clip_score)
             gt_list.append(gt)
 
-            if transformation == 0:
-                try:
-                    per_clip_auc[(scene_idx, clip_idx)] = roc_auc_score(gt, clip_score)
-                except ValueError:
-                    pass  # single-class clip
+            # The reference computes per-clip AUC inside EVERY transform
+            # iteration (eval_COSKAD.py:222-230); keep all of them.
+            try:
+                clip_auc = roc_auc_score(gt, clip_score)
+            except ValueError:
+                clip_auc = float("nan")  # single-class clip
+            per_clip_auc_all[(transformation, scene_idx, clip_idx)] = clip_auc
+            if transformation == 0 and not np.isnan(clip_auc):
+                per_clip_auc[(scene_idx, clip_idx)] = clip_auc
 
         model_scores = np.concatenate(clip_scores_list, axis=0)
         dataset_gt = np.concatenate(gt_list, axis=0)
@@ -161,6 +170,7 @@ def evaluate_windows(
         auc=auc,
         per_transform_auc=per_transform_auc,
         per_clip_auc=per_clip_auc,
+        per_clip_auc_all=per_clip_auc_all,
         scores=final_scores,
         gt=final_gt,
     )

@@ -41,7 +41,7 @@ from ..parallel import mesh as pmesh
 from ..score.aggregate import EvalResult, ScoringConfig, evaluate_windows
 from ..score.masks import AVENUE_MASKED_CLIPS
 from ..utils.logging import MetricLogger
-from . import objectives
+from . import objectives, schedulers
 from .state import TrainState, clamp_center, init_state
 
 
@@ -461,9 +461,29 @@ class Trainer:
         bs = min(self.batch_size, max(n // data_axis, 1) * data_axis)
         steps_per_epoch = max(n // bs, 1)
         history = {"validation_auc": [], "loss": []}
+        # Named per-epoch LR schedule (OptConfig.lr_schedule). When set it
+        # owns the learning rate and the plateau reducer is disabled; torch
+        # semantics (scheduler.step() at epoch end) mean lr(epoch e) =
+        # schedule(e), which is what installing before the epoch gives us.
+        schedule = (
+            schedulers.build_schedule(
+                cfg.opt.lr_schedule, cfg.opt.lr, cfg.opt.epochs, cfg.opt.lr_decay
+            )
+            if cfg.opt.lr_schedule
+            else None
+        )
 
         for local_epoch in range(epochs):
             epoch = self._epochs_done + local_epoch
+            if schedule is not None:
+                self._lr = float(schedule(epoch))
+                # Install with the mesh sharding — an unsharded scalar in the
+                # donated opt_state would silently recompile the epoch program.
+                state.opt_state.hyperparams["learning_rate"] = (
+                    pmesh.device_put_replicated(
+                        jnp.asarray(self._lr, jnp.float32), self.mesh
+                    )
+                )
             perm = self._shuffle_rng.permutation(n)
             idx = perm[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
             idx_dev = jax.device_put(
@@ -499,8 +519,11 @@ class Trainer:
                 self.logger.log(
                     {"validation_auc": auc, "epoch": epoch}, int(state.step), force=True
                 )
-                # ReduceLROnPlateau(mode='max') analogue
-                if auc > self._best_auc:
+                # ReduceLROnPlateau(mode='max') analogue (skipped when a
+                # named schedule owns the lr)
+                if schedule is not None:
+                    pass
+                elif auc > self._best_auc:
                     self._best_auc, self._since_best = auc, 0
                 else:
                     self._since_best += 1

@@ -45,8 +45,10 @@ def test_ubnormal_spherical_vae():
     assert cfg.model.latent_dim == 8
     assert cfg.model.decoder_channels == (8, 8)
     assert cfg.opt.phi == 1 and cfg.opt.beta == 0.001 and cfg.opt.gamma == 0.01
-    assert cfg.opt.warmup_epochs == 10
     assert cfg.eval.pad_size == 10
+    # warmup_epochs/opt_scheduler are accepted-and-dropped (dead in the
+    # reference's main path too); no silently-ignored OptConfig field exists.
+    assert not hasattr(cfg.opt, "warmup_epochs")
 
 
 def test_ubnormal_euclidean_autoencoder_is_broken_upstream():
@@ -103,3 +105,24 @@ def test_shipped_configs_parse_and_dispatch():
         assert cfg.model.variant == expect[stem], p
         assert cfg.run.compute_dtype == "bfloat16", p
         assert cfg.data.dataset_choice == os.path.basename(os.path.dirname(p)), p
+
+
+def test_no_silently_ignored_opt_config_fields():
+    """Every OptConfig field must be consumed somewhere outside config.py —
+    a knob that parses but is never read is a trap (VERDICT round 1, item 7).
+    """
+    import dataclasses
+    import glob
+
+    from coskad_tpu.config import OptConfig
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sources = []
+    for p in glob.glob(os.path.join(repo, "coskad_tpu", "**", "*.py"), recursive=True):
+        if p.endswith("config.py"):
+            continue
+        with open(p) as f:
+            sources.append(f.read())
+    blob = "\n".join(sources)
+    for f in dataclasses.fields(OptConfig):
+        assert f.name in blob, f"OptConfig.{f.name} is parsed but never consumed"

@@ -44,6 +44,31 @@ def test_fit_two_epochs(variant):
         assert np.linalg.norm(np.asarray(state.center)) < 1.0
 
 
+def test_lr_schedule_wiring():
+    """OptConfig.lr_schedule drives the live optimizer lr per epoch
+    (torch semantics: lr(epoch e) = schedule(e))."""
+    trainer, cfg = _make_trainer(
+        "euclidean_static", epochs=3, lr_schedule="exp", lr_decay=0.5
+    )
+    state, history = trainer.fit()
+    live = float(jax.device_get(state.opt_state.hyperparams["learning_rate"]))
+    # Last installed lr is schedule(epoch=2) = lr * 0.5**2.
+    assert np.isclose(live, cfg.opt.lr * 0.25, rtol=1e-6)
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_lr_schedule_tri_matches_library():
+    from coskad_tpu.train import schedulers
+
+    trainer, cfg = _make_trainer(
+        "euclidean_static", epochs=2, lr_schedule="tri"
+    )
+    state, _ = trainer.fit()
+    sched = schedulers.build_schedule("tri", cfg.opt.lr, cfg.opt.epochs)
+    live = float(jax.device_get(state.opt_state.hyperparams["learning_rate"]))
+    assert np.isclose(live, sched(1), rtol=1e-6)
+
+
 def test_center_contraction_reduces_loss():
     trainer, _ = _make_trainer("euclidean_static", epochs=5)
     _, history = trainer.fit()
