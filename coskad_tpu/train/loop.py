@@ -135,6 +135,12 @@ class Trainer:
         # permutation.
         self._shuffle_rng = np.random.default_rng(cfg.run.seed)
         self._epochs_done = 0
+        # Testing/diagnostics hook: False routes the VAE through its
+        # deterministic mean path (sample=False) instead of rsample —
+        # used by the torch-lockstep parity harness, where the two
+        # frameworks' RNG streams cannot be aligned. Default True matches
+        # the reference (spherical_vae trains AND scores sampled latents).
+        self.vae_sample = True
         # Plateau-scheduler state must survive the CLI's per-epoch
         # fit(state, epochs=1) calls, like the shuffle stream above.
         self._best_auc = -np.inf
@@ -193,6 +199,7 @@ class Trainer:
         base = rng if rng is not None else jax.random.PRNGKey(0)
         if self.cfg.model.use_vae:
             rngs["sample"] = base
+            kwargs["sample"] = self.vae_sample
         if train and self.cfg.model.dropout > 0:
             rngs["dropout"] = jax.random.fold_in(base, 0x60)
         if train:
