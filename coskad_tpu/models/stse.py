@@ -66,6 +66,11 @@ class STSE(nn.Module):
     # Compute dtype (params stay float32); bfloat16 halves the HBM traffic
     # that dominates the train step. Latents are always returned in float32.
     dtype: Any = jnp.float32
+    # BatchNorm implementation for the STS-GCN stacks: 'auto' (default)
+    # moment-folds dense+BN when running stats are in use and keeps flax BN
+    # for live-stats training; 'moment'/'flax' force one implementation.
+    # Identical math and variable tree (models/stsgcn.py:_moment_dense_bn).
+    bn_mode: str = "auto"
 
     def setup(self):
         from .encoders import make_encoder
@@ -79,6 +84,7 @@ class STSE(nn.Module):
             dropout=self.dropout,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            bn_mode=self.bn_mode,
             name="encoder",
         )
         flat = self.hidden_dimension * self.n_frames * self.n_joints
@@ -144,6 +150,7 @@ class STSAE(STSE):
             dropout=self.dropout,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            bn_mode=self.bn_mode,
             name="decoder",
         )
 
@@ -202,6 +209,7 @@ class STSVAE(STSAE):
             dropout=self.dropout,
             use_bias=self.use_bias,
             dtype=self.dtype,
+            bn_mode=self.bn_mode,
             name="decoder",
         )
 

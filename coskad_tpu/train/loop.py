@@ -60,6 +60,7 @@ def model_kwargs_from_config(cfg: Config) -> dict:
         n_frames=cfg.data.seg_len,
         n_joints=cfg.data.n_joints,
         encoder_type=cfg.model.encoder_type,
+        bn_mode=cfg.model.bn_mode,
         projector=cfg.model.projector,
         projector_hidden_layers=cfg.model.projector_hidden_layers,
         dropout=cfg.model.dropout,
