@@ -68,10 +68,21 @@ def apply_transforms(pose: jax.Array, mats: jax.Array) -> jax.Array:
     Returns:
         [B, C, T, V] transformed windows.
     """
-    xy = pose[:, :2]  # [B, 2, T, V]
-    # [x', y'] = M[:2,:2] @ [x, y] + M[:2, 2]
-    lin = jnp.einsum("bck,bktv->bctv", mats[:, :2, :2], xy)
-    out_xy = lin + mats[:, :2, 2][:, :, None, None]
+    x, y = pose[:, 0], pose[:, 1]  # [B, T, V]
+    # [x', y'] = M[:2,:2] @ [x, y] + M[:2, 2], written as broadcast
+    # multiplies: a per-sample batched 2x2 einsum lowers to B tiny matmuls
+    # (measured ~0.9 ms/step at B=2048); six VPU broadcasts fuse into the
+    # gather instead.
+    def m(i, j):
+        return mats[:, i, j][:, None, None]  # [B, 1, 1]
+
+    out_xy = jnp.stack(
+        [
+            m(0, 0) * x + m(0, 1) * y + m(0, 2),
+            m(1, 0) * x + m(1, 1) * y + m(1, 2),
+        ],
+        axis=1,
+    )
     if pose.shape[1] > 2:
         return jnp.concatenate([out_xy, pose[:, 2:]], axis=1)
     return out_xy

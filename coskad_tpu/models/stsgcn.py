@@ -174,6 +174,15 @@ class SpaceTimeGraphConv(nn.Module):
     time_dim: int
     joints_dim: int
     dtype: Any = jnp.float32
+    # 'combined' (default): fuse the two separable contractions into ONE
+    # [T*V, T*V] matmul — M[(t,v),(q,w)] = T[v,t,q] * A[q,v,w]. The
+    # separable einsums batch tiny K=T/K=V contractions per joint/frame
+    # (MXU pads every one to a full 128 tile) and their backward dominated
+    # the train step: measured fwd+bwd per layer 1.46 ms (separable) vs
+    # 0.90 ms (combined) at B=2048 bf16 on v5e-1. Identical linear map,
+    # identical parameters/gradients; M is built in fp32 each call (a
+    # [T,V,T,V]-sized einsum, trivial).
+    graph_mode: str = "combined"
 
     @nn.compact
     def __call__(self, x):
@@ -181,6 +190,15 @@ class SpaceTimeGraphConv(nn.Module):
         t_adj = self.param("t_adj", _uniform_init(1.0 / t**0.5), (v, t, t))
         a_adj = self.param("a_adj", _uniform_init(1.0 / v**0.5), (t, v, v))
         x = x.astype(self.dtype)
+        if self.graph_mode == "combined":
+            b, _, _, c = x.shape
+            n = t * v
+            m = jnp.einsum("vtq,qvw->tvqw", t_adj, a_adj).reshape(n, n)
+            h = jnp.einsum(
+                "bnc,nm->bmc", x.reshape(b, n, c), m.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            return h.reshape(b, t, v, c)
         # temporal mixing per joint: out[b, q, v, c] = sum_t x[b, t, v, c] * T[v, t, q]
         x = jnp.einsum(
             "btvc,vtq->bqvc", x, t_adj.astype(self.dtype),

@@ -186,3 +186,23 @@ def test_auto_mode_dispatch(data):
     y_auto_eval = _stack("auto").apply(variables, data)
     y_moment_eval = _stack("moment").apply(variables, data)
     np.testing.assert_array_equal(np.asarray(y_auto_eval), np.asarray(y_moment_eval))
+
+
+def test_graph_modes_equivalent(data):
+    """Combined (T*V, T*V) contraction == the two separable einsums."""
+    from coskad_tpu.models.stsgcn import SpaceTimeGraphConv
+
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(8, 6, 5, 12)).astype(np.float32)
+    )
+    sep = SpaceTimeGraphConv(6, 5, graph_mode="separable")
+    comb = SpaceTimeGraphConv(6, 5, graph_mode="combined")
+    v = sep.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(comb.apply(v, x)), np.asarray(sep.apply(v, x)),
+        rtol=2e-5, atol=2e-6,
+    )
+    g_s = jax.grad(lambda p: jnp.sum(sep.apply({"params": p}, x) ** 2))(v["params"])
+    g_c = jax.grad(lambda p: jnp.sum(comb.apply({"params": p}, x) ** 2))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_c), jax.tree_util.tree_leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
