@@ -36,6 +36,149 @@ def _make_clip(rng, n_frames, n_joints, anomaly_span=None, n_actors=2):
     return clip, gt
 
 
+def _gappy_actor(rng, n_frames, n_joints, gap_at, gap_len):
+    """Actor present on all frames except a gap of `gap_len` frames starting
+    at `gap_at` (1-based keys, like AlphaPose exports)."""
+    frames = {}
+    base = rng.uniform(150, 500, size=(n_joints, 2))
+    for f in range(1, n_frames + 1):
+        base = base + rng.normal(scale=1.5, size=(n_joints, 2))
+        if gap_at <= f < gap_at + gap_len:
+            continue
+        kp = np.concatenate(
+            [base, rng.uniform(0.5, 1.0, size=(n_joints, 1))], axis=-1
+        )
+        frames[f"{f:04d}"] = {"keypoints": kp.reshape(-1).tolist()}
+    return frames
+
+
+def make_adversarial_dataset(
+    root: str,
+    n_frames: int = 220,
+    n_joints: int = 17,
+    seed: int = 3,
+) -> str:
+    """UBnormal-shaped adversarial fixture exercising the branches the basic
+    fixture cannot (round-1 verdict "What's weak" #1):
+
+    - multi-scene layout (scenes 1 and 2, several clips each),
+    - gappy trajectories at the continuity threshold: one actor with a
+      2-missing-frame gap (windows may bridge it — is_seg_continuous,
+      reference utils/dataset_utils.py:213-231) and one with a 4-frame gap
+      (windows must not bridge it),
+    - a training clip with ZERO tracked people (empty AlphaPose JSON),
+    - a single-actor test clip with a mid-clip absence interval, so
+      `pad_size > 0` exercises the reference's pad_scores interval logic
+      end-to-end (utils/eval_utils.py:232-248),
+    - HR boolean masks under the reference's derived
+      hr_bool_masks/<split>/test_frame_mask layout (eval_COSKAD.py:92-99),
+    - the UBnormal 'validating' split protocol: pose/validating +
+      validating/test_frame_mask ground truth (utils/argparser.py:14-27).
+
+    Returns the config path.
+    """
+    rng = np.random.default_rng(seed)
+    dirs = {
+        "train": os.path.join(root, "pose", "training"),
+        "test": os.path.join(root, "pose", "testing"),
+        "validating": os.path.join(root, "pose", "validating"),
+        "gt": os.path.join(root, "gt"),
+        "val_gt": os.path.join(root, "validating", "test_frame_mask"),
+        "hr": os.path.join(root, "hr_bool_masks", "testing", "test_frame_mask"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    # --- training: two scenes
+    clip, _ = _make_clip(rng, n_frames, n_joints)
+    # actor with a 2-frame gap (at the <=2-missing threshold: windows bridge)
+    clip["7"] = _gappy_actor(rng, n_frames, n_joints, gap_at=100, gap_len=2)
+    # actor with a 4-frame gap (over threshold: trajectory effectively splits)
+    clip["8"] = _gappy_actor(rng, n_frames, n_joints, gap_at=100, gap_len=4)
+    with open(os.path.join(dirs["train"], "01_0001_tracked.json"), "w") as f:
+        json.dump(clip, f)
+    # zero-detection training clip
+    with open(os.path.join(dirs["train"], "01_0002_tracked.json"), "w") as f:
+        json.dump({}, f)
+    for i in (1, 2):
+        clip, _ = _make_clip(rng, n_frames, n_joints)
+        with open(os.path.join(dirs["train"], f"02_{i:04d}_tracked.json"), "w") as f:
+            json.dump(clip, f)
+
+    # --- testing: one anomalous clip per scene; scene-1 clip has a
+    # single actor with a mid-clip absence interval (pad_scores target)
+    span = (n_frames // 3, n_frames // 3 + 50)
+    clip, gt = _make_clip(rng, n_frames, n_joints, anomaly_span=span,
+                          n_actors=1)
+    absent = {f"{f:04d}" for f in range(150, 180)}
+    clip["1"] = {k: v for k, v in clip["1"].items() if k not in absent}
+    with open(os.path.join(dirs["test"], "01_0003_tracked.json"), "w") as f:
+        json.dump(clip, f)
+    np.save(os.path.join(dirs["gt"], "01_0003.npy"), gt)
+    hr = np.ones(n_frames, dtype=np.uint8)
+    hr[:20] = 0  # drop some frames as non-human-related
+    np.save(os.path.join(dirs["hr"], "1_3.npy"), hr)
+
+    clip, gt = _make_clip(rng, n_frames, n_joints, anomaly_span=span)
+    with open(os.path.join(dirs["test"], "02_0003_tracked.json"), "w") as f:
+        json.dump(clip, f)
+    np.save(os.path.join(dirs["gt"], "02_0003.npy"), gt)
+    np.save(os.path.join(dirs["hr"], "2_3.npy"),
+            np.ones(n_frames, dtype=np.uint8))
+
+    # --- validating split (UBnormal protocol): its own clips + masks
+    span_v = (50, 90)
+    clip, gt = _make_clip(rng, n_frames, n_joints, anomaly_span=span_v)
+    with open(os.path.join(dirs["validating"], "01_0004_tracked.json"), "w") as f:
+        json.dump(clip, f)
+    np.save(os.path.join(dirs["val_gt"], "01_0004.npy"), gt)
+
+    cfg = {
+        "dataset_choice": "UBnormal",
+        "data_dir": root,
+        "gt_path": dirs["gt"],
+        "exp_dir": os.path.join(root, "checkpoints"),
+        "dir_name": "adversarial",
+        "seed": 0,
+        "validation": True,
+        "use_decoder": False,
+        "use_vae": False,
+        "hyperbolic": False,
+        "static_center": True,
+        "num_coords": 2,
+        "channels": [32, 16, 32],
+        "h_dim": 64,
+        "latent_dim": 16,
+        "projector": "linear",
+        "dropout": 0,
+        "alpha": 1e-6,
+        "lambda_": 0.01,
+        "center_tolerance": 0.001,
+        "distance": "euclidean",
+        "dataset_seg_len": 12,
+        "dataset_seg_stride": 8,
+        "dataset_num_transform": 5,
+        "dataset_vid_res": [856, 480],
+        "dataset_symm_range": True,
+        "dataset_sub_mean": True,
+        "dataset_kp18_format": True,
+        "dataset_normalize_pose": True,
+        "dataset_normalization_strategy": "markovitz",
+        "dataset_batch_size": 256,
+        "dataset_headless": False,
+        "ae_epochs": 2,
+        "opt_lr": 1e-4,
+        "pad_size": 5,
+        "smoothing": 50,
+        "split": "test",
+        "use_hr": True,
+    }
+    cfg_path = os.path.join(root, "adversarial.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path
+
+
 def make_synthetic_dataset(
     root: str,
     n_train_clips: int = 2,
