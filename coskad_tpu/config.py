@@ -156,6 +156,17 @@ class RunConfig:
     # stay HBM-resident; windowing/normalization/transforms happen in-jit.
     # ~12x less HBM at stride 1; AlphaPose pipeline only.
     device_pipeline: bool = False
+    # Fused ghost-BN train kernel (kernels/stse_train.py): whole-encoder
+    # forward+backward as Pallas kernels with VMEM-resident activations and
+    # block-local (ghost) BatchNorm statistics — the TPU analogue of the
+    # reference's per-GPU BN. 'auto': on where compatible (sts_gcn encoder,
+    # linear projector, no dropout, encoder-only variant, no tensor
+    # parallelism, batch divisible by ghost_size); 'on' forces (errors if
+    # incompatible); 'off' keeps the stock XLA path. Default 'off' until the
+    # TPU head-to-head AUC + throughput wins are locked in (see NEXT.md).
+    fused_train: str = "off"
+    # Ghost-BN block size (samples per BatchNorm statistics block).
+    ghost_size: int = 64
 
 
 @dataclass

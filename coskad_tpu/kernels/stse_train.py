@@ -1,0 +1,733 @@
+"""Fused STSE *training* path (Pallas): forward + custom-VJP backward.
+
+The round-1 measurement (DESIGN.md section 6): the train step is ~1.3 ms of
+op-launch floor plus ~5 ms of bandwidth-bound work — BatchNorm batch
+statistics and the backward pass re-reading [B, T, V, C] activations that
+XLA materializes in HBM. The input windows are tiny ([B, 2, T, V]); every
+large tensor in the step is an *intermediate*. This module therefore runs
+the whole encoder — four ST-GCNN layers (combined space-time graph matmul,
+1x1 dense + BatchNorm, residual dense + BatchNorm, PReLU) plus the linear
+projector — as ONE Pallas kernel per direction, with all activations
+VMEM-resident and the backward rematerializing the forward in-VMEM instead
+of reading saved activations from HBM.
+
+BatchNorm under fusion: exact full-batch statistics are sequentially
+dependent across layers (layer i's stats need layer i-1's *normalized*
+full-batch output), which forces either multi-pass HBM traffic (what XLA
+does) or block-local statistics. We use **ghost BatchNorm**: statistics over
+`ghost_size` consecutive samples x all valid graph nodes (a "ghost batch" of
+ghost_size*T*V rows per channel). This is the TPU-native analogue of the
+reference's own per-GPU BatchNorm — PyTorch-Lightning DDP computes BN stats
+per rank (batch 512-2048 split over 2 GPUs; SURVEY.md section 7.3.7 pins
+per-shard BN, not sync-BN, as the parity-faithful choice) — with the shard
+size set by the VMEM block instead of the GPU count. Running statistics are
+still aggregated exactly over the FULL batch (masked sum/sumsq accumulated
+across blocks), so eval-mode behaviour matches stock BN closely. AUC parity
+vs the live-BN XLA path is asserted in the head-to-head harness
+(scripts/parity_vs_reference.py) before this path is used for benching.
+
+Reference call-sites this replaces at train time: STSE.encode
+(/root/reference/models/sts/ae.py:76-105) and the ST_GCNN_layer stack
+(/root/reference/models/graph_layers/stsgcn.py:106-155).
+
+Layout notes (Mosaic-probed on this toolchain):
+  * Activations live as 2D [C, Bb*N] — channels on sublanes, (sample, node)
+    on lanes — so the 1x1 dense is a plain [C_out, C_in] @ [C_in, cols] dot
+    and BatchNorm is a masked row reduction. N = T*V is zero-padded to 256
+    (a lane multiple), which makes the reshapes [C, Bb*N] <-> [C*Bb, N]
+    (graph contraction form) pure, supported relayouts.
+  * Supported & used: lhsT dots (contract dim 0 x dim 0) for dM and dWp,
+    in-kernel `.T` on the dense-grad rhs, (0,2,1) transposes, iota-%-mask
+    column reductions. NOT supported (avoided): rhsT dots (contract minor x
+    minor).
+  * Weight gradients accumulate across the sequential TPU grid into
+    constant-index output blocks (init on block 0, += after).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_PAD = 256
+BN_EPS = 1e-5
+
+
+# --------------------------------------------------------------------------
+# Parameter plumbing: flax tree {params, batch_stats} -> flat kernel operands
+# --------------------------------------------------------------------------
+
+
+class LayerOps(NamedTuple):
+    """Per-layer operands, all in kernel orientation (see module docstring).
+
+    Everything here is produced by differentiable jnp ops from the flax
+    tree, so grads w.r.t. these flow back to t_adj/a_adj/kernels/... for
+    free once the custom-VJP returns cotangents for them."""
+
+    m: jax.Array        # [N_PAD, N_PAD] combined graph matrix, zero-padded
+    wt: jax.Array       # [C_out, C_in] tcn dense, transposed
+    b: jax.Array        # [C_out, 1]
+    gamma: jax.Array    # [C_out, 1] tcn BN scale
+    beta: jax.Array     # [C_out, 1] tcn BN bias
+    wt_res: jax.Array   # [C_out, C_in] residual dense, transposed
+    b_res: jax.Array    # [C_out, 1]
+    gamma_res: jax.Array
+    beta_res: jax.Array
+    alpha: jax.Array    # [1, 1] PReLU slope
+
+
+class EncoderOps(NamedTuple):
+    layers: Tuple[LayerOps, ...]
+    wp: jax.Array       # [C_hidden * N_PAD, latent] projector, (c, n) row order
+    bp: jax.Array       # [1, latent]
+
+
+def combined_graph_matrix(t_adj: jax.Array, a_adj: jax.Array) -> jax.Array:
+    """M[(t,v),(q,w)] = T[v,t,q] * A[q,v,w] — one [T*V, T*V] matmul is the
+    same linear map as the two separable contractions
+    (reference stsgcn.py:154-155); see models/stsgcn.py graph_mode."""
+    v, t, _ = t_adj.shape
+    m = jnp.einsum("vtq,qvw->tvqw", t_adj, a_adj)
+    return m.reshape(t * v, t * v)
+
+
+def _pad2(m: jax.Array, rows: int, cols: int) -> jax.Array:
+    return jnp.pad(m, ((0, rows - m.shape[0]), (0, cols - m.shape[1])))
+
+
+def encoder_ops_from_tree(params: Dict, n_nodes: int) -> EncoderOps:
+    """Build kernel operands from an STSE flax param tree (differentiably)."""
+    enc = params["encoder"]
+    layers = []
+    i = 0
+    while f"layer_{i}" in enc:
+        lp = enc[f"layer_{i}"]
+        w = lp["tcn_dense"]["kernel"]  # [C_in, C_out]
+        c_in, c_out = w.shape
+        if "residual_dense" in lp:
+            w_res = lp["residual_dense"]["kernel"]
+            b_res = lp["residual_dense"].get("bias", jnp.zeros(c_out))
+            gamma_res = lp["residual_bn"]["scale"]
+            beta_res = lp["residual_bn"]["bias"]
+        else:
+            # identity residual (same channel count): fold as W=I, BN=noop
+            w_res = jnp.eye(c_in, c_out, dtype=w.dtype)
+            b_res = jnp.zeros(c_out)
+            gamma_res = jnp.ones(c_out)
+            beta_res = jnp.zeros(c_out)
+        m = combined_graph_matrix(lp["gcn"]["t_adj"], lp["gcn"]["a_adj"])
+        layers.append(
+            LayerOps(
+                m=_pad2(m, N_PAD, N_PAD),
+                wt=w.T,
+                b=lp["tcn_dense"].get("bias", jnp.zeros(c_out)).reshape(-1, 1),
+                gamma=lp["tcn_bn"]["scale"].reshape(-1, 1),
+                beta=lp["tcn_bn"]["bias"].reshape(-1, 1),
+                wt_res=w_res.T,
+                b_res=b_res.reshape(-1, 1),
+                gamma_res=gamma_res.reshape(-1, 1),
+                beta_res=beta_res.reshape(-1, 1),
+                alpha=lp["prelu"]["alpha"].reshape(1, 1),
+            )
+        )
+        i += 1
+    # Projector: flax kernel rows are flat (n, c) order (STSE.encode flattens
+    # (T, V, C)); the kernel emits hidden as [(c, n), Bb], so reorder rows to
+    # (c, n) and zero-pad the node axis to N_PAD.
+    wp = params["btlnk"]["kernel"]  # [n_nodes * C_h, latent]
+    latent = wp.shape[1]
+    c_h = layers[-1].wt.shape[0]
+    wp = wp.reshape(n_nodes, c_h, latent).transpose(1, 0, 2)  # [C_h, n, L]
+    wp = jnp.pad(wp, ((0, 0), (0, N_PAD - n_nodes), (0, 0)))
+    wp = wp.reshape(c_h * N_PAD, latent)
+    bp = params["btlnk"].get("bias", jnp.zeros(latent)).reshape(1, latent)
+    return EncoderOps(layers=tuple(layers), wp=wp, bp=bp)
+
+
+def has_identity_residual(params: Dict) -> Tuple[bool, ...]:
+    enc = params["encoder"]
+    out = []
+    i = 0
+    while f"layer_{i}" in enc:
+        out.append("residual_dense" not in enc[f"layer_{i}"])
+        i += 1
+    return tuple(out)
+
+
+# --------------------------------------------------------------------------
+# Pure-jnp ghost-BN reference (the semantics the kernels must match; also
+# the CPU fallback and the gradient oracle for the kernel parity tests)
+# --------------------------------------------------------------------------
+
+
+def _ghost_bn(h, gamma, beta):
+    """BN over all (sample-in-block, node) rows per channel; biased var
+    (flax's formula). h: [rows, C]. Returns (y, mean, var)."""
+    mean = h.mean(axis=0)
+    var = jnp.maximum((h * h).mean(axis=0) - mean * mean, 0.0)
+    y = (h - mean) * jax.lax.rsqrt(var + BN_EPS) * gamma + beta
+    return y, mean, var
+
+
+def ghost_encode_reference(
+    params: Dict, x: jax.Array, ghost_size: int
+) -> Tuple[jax.Array, List[Dict[str, jax.Array]]]:
+    """Differentiable jnp spec of the fused kernel.
+
+    x: [B, C_in, T, V] (the reference's NCTV batch layout). Returns
+    (z [B, latent] fp32, per-layer dicts of full-batch pre-BN sums:
+    {'tcn_sum','tcn_sumsq','res_sum','res_sumsq'} each [C_out]) — the sums
+    feed the exact full-batch running-statistics update.
+    """
+    b, c_in, t, v = x.shape
+    assert b % ghost_size == 0, (b, ghost_size)
+    n = t * v
+    enc = params["encoder"]
+    n_layers = len([k for k in enc if k.startswith("layer_")])
+
+    # [B, C, T, V] -> [G, gb*n, C] blocks of channels-last rows
+    xb = jnp.transpose(x, (0, 2, 3, 1)).reshape(
+        b // ghost_size, ghost_size * n, c_in
+    ).astype(jnp.float32)
+
+    stats: List[Dict[str, jax.Array]] = []
+    h = xb
+    for i in range(n_layers):
+        lp = enc[f"layer_{i}"]
+        g, gb_n, ci = h.shape
+        m = combined_graph_matrix(lp["gcn"]["t_adj"], lp["gcn"]["a_adj"])
+
+        def layer(hb):  # [gb*n, C_in] one ghost block
+            rows = hb.reshape(ghost_size, n, ci)
+            gr = jnp.einsum("bnc,nm->bmc", rows, m).reshape(gb_n, ci)
+            tpre = gr @ lp["tcn_dense"]["kernel"] + lp["tcn_dense"].get(
+                "bias", 0.0
+            )
+            tn, t_mean, t_var = _ghost_bn(
+                tpre, lp["tcn_bn"]["scale"], lp["tcn_bn"]["bias"]
+            )
+            if "residual_dense" in lp:
+                rpre = hb @ lp["residual_dense"]["kernel"] + lp[
+                    "residual_dense"
+                ].get("bias", 0.0)
+                rn, r_mean, r_var = _ghost_bn(
+                    rpre, lp["residual_bn"]["scale"], lp["residual_bn"]["bias"]
+                )
+            else:
+                rpre = hb
+                rn, r_mean, r_var = hb, jnp.zeros(ci), jnp.ones(ci)
+            pre = tn + rn
+            alpha = lp["prelu"]["alpha"]
+            y = jnp.where(pre >= 0, pre, alpha * pre)
+            return y, (tpre, rpre)
+
+        y, (tpre, rpre) = jax.vmap(layer)(h)
+        rows_total = b * n
+        stats.append(
+            {
+                "tcn_sum": tpre.sum(axis=(0, 1)),
+                "tcn_sumsq": (tpre * tpre).sum(axis=(0, 1)),
+                "res_sum": rpre.sum(axis=(0, 1)),
+                "res_sumsq": (rpre * rpre).sum(axis=(0, 1)),
+                "count": jnp.asarray(rows_total, jnp.float32),
+            }
+        )
+        h = y
+
+    c_h = h.shape[-1]
+    flat = h.reshape(b, n * c_h)  # (n, c) row-major == STSE (T, V, C) flatten
+    z = flat @ params["btlnk"]["kernel"] + params["btlnk"].get("bias", 0.0)
+    return z.astype(jnp.float32), stats
+
+
+# --------------------------------------------------------------------------
+# Pallas kernels
+# --------------------------------------------------------------------------
+
+N_LAYER_OPS = len(LayerOps._fields)
+
+
+def _col_mask(bb: int, n_valid: int):
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, bb * N_PAD), 1)
+    return (col % N_PAD) < n_valid
+
+
+def _layer_fwd(x2, refs, bb, n_valid, res_identity, dtype=jnp.float32):
+    """One ST-GCNN layer on a [C_in, bb*N_PAD] activation (dtype = compute
+    dtype for activations/relayouts; statistics and BN math stay float32).
+    Returns (y2, pre, internals) where internals are what the backward
+    needs: (g2, t, t_mean, t_var, r, r_mean, r_var, sums4)."""
+    (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = refs
+    c_in = x2.shape[0]
+    c_out = wt.shape[0]
+    cols = bb * N_PAD
+    mask = _col_mask(bb, n_valid)
+    inv_cnt = 1.0 / (bb * n_valid)
+
+    def dot(a, bmat):
+        return jax.lax.dot_general(
+            a.astype(dtype), bmat.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # combined space-time graph contraction over the node axis
+    g2 = dot(x2.reshape(c_in * bb, N_PAD), m[:]).astype(dtype).reshape(
+        c_in, cols
+    )
+    t = dot(wt[:], g2) + b[:]  # fp32
+    tm = jnp.where(mask, t, 0.0)
+    t_sum = jnp.sum(tm, axis=1, keepdims=True)
+    t_sumsq = jnp.sum(tm * tm, axis=1, keepdims=True)
+    t_mean = t_sum * inv_cnt
+    t_var = jnp.maximum(t_sumsq * inv_cnt - t_mean * t_mean, 0.0)
+    tn = gamma[:] * (t - t_mean) * jax.lax.rsqrt(t_var + BN_EPS) + beta[:]
+    if res_identity:
+        r, r_mean, r_var = None, None, None
+        rn = x2.astype(jnp.float32)
+        r_sum = jnp.zeros((c_out, 1), jnp.float32)
+        r_sumsq = jnp.zeros((c_out, 1), jnp.float32)
+    else:
+        r = dot(wt_res[:], x2) + b_res[:]
+        rm = jnp.where(mask, r, 0.0)
+        r_sum = jnp.sum(rm, axis=1, keepdims=True)
+        r_sumsq = jnp.sum(rm * rm, axis=1, keepdims=True)
+        r_mean = r_sum * inv_cnt
+        r_var = jnp.maximum(r_sumsq * inv_cnt - r_mean * r_mean, 0.0)
+        rn = (
+            gamma_res[:] * (r - r_mean) * jax.lax.rsqrt(r_var + BN_EPS)
+            + beta_res[:]
+        )
+    pre = tn + rn
+    y = jnp.where(pre >= 0, pre, alpha[0, 0] * pre).astype(dtype)
+    return y, pre, (g2, t, t_mean, t_var, r, r_mean, r_var,
+                    (t_sum, t_sumsq, r_sum, r_sumsq))
+
+
+def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
+    """refs = x_ref, (10 per layer), wp, bp, then outputs:
+    z_ref, (t_sum, t_sumsq, r_sum, r_sumsq) per layer."""
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + N_LAYER_OPS * n_layers]
+    wp_ref, bp_ref = refs[1 + N_LAYER_OPS * n_layers : 3 + N_LAYER_OPS * n_layers]
+    out_refs = refs[3 + N_LAYER_OPS * n_layers :]
+    z_ref = out_refs[0]
+    stat_refs = out_refs[1:]
+
+    i = pl.program_id(0)
+    c_in = x_ref.shape[0]
+    x2 = x_ref[:].astype(dtype).reshape(c_in, bb * N_PAD)
+    for l in range(n_layers):
+        lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
+        x2, _pre, internals = _layer_fwd(
+            x2, lrefs, bb, n_valid, res_identity[l], dtype
+        )
+        sums = internals[-1]
+        for k in range(4):
+            ref = stat_refs[4 * l + k]
+
+            @pl.when(i == 0)
+            def _(ref=ref, val=sums[k]):
+                ref[:] = val
+
+            @pl.when(i > 0)
+            def _(ref=ref, val=sums[k]):
+                ref[:] = ref[:] + val
+
+    c_h = x2.shape[0]
+    h3 = x2.reshape(c_h, bb, N_PAD)
+    hcn = jnp.transpose(h3, (0, 2, 1)).reshape(c_h * N_PAD, bb)
+    z = jax.lax.dot_general(
+        hcn, wp_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    z_ref[:] = z + bp_ref[:]
+
+
+def _bn_bwd(dy, pre_raw, mean, var, gamma, mask, inv_cnt):
+    """Ghost-BN backward. dy: grad wrt normalized output [C, cols];
+    pre_raw: pre-BN activations; returns (d_pre_raw masked, dgamma, dbeta)."""
+    inv_std = jax.lax.rsqrt(var + BN_EPS)
+    xhat = (pre_raw - mean) * inv_std
+    dym = jnp.where(mask, dy, 0.0)
+    dgamma = jnp.sum(dym * jnp.where(mask, xhat, 0.0), axis=1, keepdims=True)
+    dbeta = jnp.sum(dym, axis=1, keepdims=True)
+    mean_dy = dbeta * inv_cnt
+    mean_dyx = dgamma * inv_cnt
+    dx = (gamma * inv_std) * (dym - mean_dy - xhat * mean_dyx)
+    return jnp.where(mask, dx, 0.0), dgamma, dbeta
+
+
+def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
+    """refs = x_ref, dz_ref, (10 weights per layer), wp, then outputs:
+    (dm, dwt, db, dgamma, dbeta, dwt_res, db_res, dgamma_res, dbeta_res,
+     dalpha) per layer, dwp, dbp. Rematerializes the forward in VMEM."""
+    x_ref, dz_ref = refs[0], refs[1]
+    w_refs = refs[2 : 2 + N_LAYER_OPS * n_layers]
+    wp_ref = refs[2 + N_LAYER_OPS * n_layers]
+    out_refs = refs[3 + N_LAYER_OPS * n_layers :]
+
+    i = pl.program_id(0)
+    cols = bb * N_PAD
+    mask = _col_mask(bb, n_valid)
+    inv_cnt = 1.0 / (bb * n_valid)
+
+    def dot(a, bmat):
+        return jax.lax.dot_general(
+            a.astype(dtype), bmat.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dot0(a, bmat):  # contract dim 0 x dim 0 (lhsT form)
+        return jax.lax.dot_general(
+            a.astype(dtype), bmat.astype(dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def accum(ref, val):
+        @pl.when(i == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(i > 0)
+        def _():
+            ref[:] = ref[:] + val
+
+    # ---- forward remat, saving layer inputs (the only stored activations)
+    c_in0 = x_ref.shape[0]
+    x_in = [x_ref[:].astype(dtype).reshape(c_in0, cols)]
+    for l in range(n_layers):
+        lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
+        y, _pre, _internals = _layer_fwd(
+            x_in[-1], lrefs, bb, n_valid, res_identity[l], dtype
+        )
+        x_in.append(y)
+
+    # ---- projector backward
+    c_h = x_in[-1].shape[0]
+    dz = dz_ref[:].astype(jnp.float32)  # [bb, L]
+    hcn = jnp.transpose(x_in[-1].reshape(c_h, bb, N_PAD), (0, 2, 1)).reshape(
+        c_h * N_PAD, bb
+    )
+    accum(out_refs[N_LAYER_OPS * n_layers], dot(hcn, dz))  # dwp [C_h*N, L]
+    accum(
+        out_refs[N_LAYER_OPS * n_layers + 1],
+        jnp.sum(dz, axis=0, keepdims=True),
+    )  # dbp [1, L]
+    dh_cn = dot(wp_ref[:], dz.T).astype(dtype)  # [C_h*N, bb]
+    dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1)).reshape(
+        c_h, cols
+    )
+
+    # ---- layer backward sweep (recompute per-layer internals from x_in)
+    for l in reversed(range(n_layers)):
+        (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = (
+            w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
+        )
+        x2 = x_in[l]
+        c_in = x2.shape[0]
+        # recompute this layer's pre-activations and ghost statistics
+        _y, pre, (g2, t, t_mean, t_var, r, r_mean, r_var, _sums) = _layer_fwd(
+            x2, w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)],
+            bb, n_valid, res_identity[l], dtype,
+        )
+
+        # PReLU backward (dy: compute dtype; pre: fp32)
+        neg = pre < 0
+        dyf = dy.astype(jnp.float32)
+        dpre = jnp.where(neg, alpha[0, 0] * dyf, dyf)
+        dalpha = jnp.sum(
+            jnp.where(mask & neg, dyf * pre, 0.0), axis=1, keepdims=True
+        )
+        dalpha = jnp.sum(dalpha, axis=0, keepdims=True)  # [1, 1]
+        accum(out_refs[N_LAYER_OPS * l + 9], dalpha)
+
+        # tcn branch: BN -> dense -> graph
+        dt, dgamma, dbeta = _bn_bwd(
+            dpre, t, t_mean, t_var, gamma[:], mask, inv_cnt
+        )
+        dt = dt.astype(dtype)
+        accum(out_refs[N_LAYER_OPS * l + 3], dgamma)
+        accum(out_refs[N_LAYER_OPS * l + 4], dbeta)
+        accum(out_refs[N_LAYER_OPS * l + 1], dot(dt, g2.T))  # dwt [C_out,C_in]
+        accum(out_refs[N_LAYER_OPS * l + 2],
+              jnp.sum(dt.astype(jnp.float32), axis=1, keepdims=True))
+        dg = dot(wt[:].T, dt).astype(dtype)  # [C_in, cols]
+        dgr = dg.reshape(c_in * bb, N_PAD)
+        accum(
+            out_refs[N_LAYER_OPS * l + 0],
+            dot0(x2.reshape(c_in * bb, N_PAD), dgr),
+        )  # dm [N, N]
+        dx = dot(dgr, m[:].T).astype(dtype).reshape(c_in, cols)
+
+        # residual branch
+        if res_identity[l]:
+            dx = dx + dpre.astype(dtype)
+            c_out = wt.shape[0]
+            for k, shape in ((5, (c_out, c_in)), (6, (c_out, 1)),
+                             (7, (c_out, 1)), (8, (c_out, 1))):
+                accum(out_refs[N_LAYER_OPS * l + k], jnp.zeros(shape, jnp.float32))
+        else:
+            dr, dgamma_r, dbeta_r = _bn_bwd(
+                dpre, r, r_mean, r_var, gamma_res[:], mask, inv_cnt
+            )
+            dr = dr.astype(dtype)
+            accum(out_refs[N_LAYER_OPS * l + 7], dgamma_r)
+            accum(out_refs[N_LAYER_OPS * l + 8], dbeta_r)
+            accum(out_refs[N_LAYER_OPS * l + 5], dot(dr, x2.T))
+            accum(
+                out_refs[N_LAYER_OPS * l + 6],
+                jnp.sum(dr.astype(jnp.float32), axis=1, keepdims=True),
+            )
+            dx = dx + dot(wt_res[:].T, dr).astype(dtype)
+        dy = dx
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# --------------------------------------------------------------------------
+
+
+def _full_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _ops_arrays(ops: EncoderOps):
+    args = []
+    for lay in ops.layers:
+        args.extend(list(lay))
+    return args
+
+
+def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
+                interpret, dtype="float32"):
+    """x_t: [C_in, B, N_PAD]. Returns (z [B, L], sums: list of 4-tuples)."""
+    c_in, b, _ = x_t.shape
+    bb = ghost_size
+    n_blocks = b // bb
+    n_layers = len(ops.layers)
+    latent = ops.wp.shape[1]
+
+    w_args = _ops_arrays(ops)
+    w_specs = [_full_spec(a.shape) for a in w_args]
+
+    out_shapes = [jax.ShapeDtypeStruct((b, latent), jnp.float32)]
+    out_specs = [pl.BlockSpec((bb, latent), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    for lay in ops.layers:
+        c_out = lay.wt.shape[0]
+        for _ in range(4):
+            out_shapes.append(jax.ShapeDtypeStruct((c_out, 1), jnp.float32))
+            out_specs.append(_full_spec((c_out, 1)))
+
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_layers, bb, n_valid, res_identity,
+                          jnp.dtype(dtype)),
+        grid=(n_blocks,),
+        out_shape=tuple(out_shapes),
+        in_specs=[
+            pl.BlockSpec((c_in, bb, N_PAD), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+            _full_spec(ops.wp.shape),
+            _full_spec(ops.bp.shape),
+        ],
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x_t, *w_args, ops.wp, ops.bp)
+    z = outs[0]
+    sums = [tuple(outs[1 + 4 * l + k] for k in range(4))
+            for l in range(n_layers)]
+    return z, sums
+
+
+def _bwd_pallas(x_t, dz, ops: EncoderOps, n_valid, ghost_size, res_identity,
+                interpret, dtype="float32"):
+    """Returns cotangents for every LayerOps field + (dwp, dbp)."""
+    c_in, b, _ = x_t.shape
+    bb = ghost_size
+    n_blocks = b // bb
+    n_layers = len(ops.layers)
+
+    w_args = _ops_arrays(ops)
+    w_specs = [_full_spec(a.shape) for a in w_args]
+
+    out_shapes, out_specs = [], []
+    for lay in ops.layers:
+        for a in lay:
+            out_shapes.append(jax.ShapeDtypeStruct(a.shape, jnp.float32))
+            out_specs.append(_full_spec(a.shape))
+    for a in (ops.wp, ops.bp):
+        out_shapes.append(jax.ShapeDtypeStruct(a.shape, jnp.float32))
+        out_specs.append(_full_spec(a.shape))
+
+    latent = ops.wp.shape[1]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_layers, bb, n_valid, res_identity,
+                          jnp.dtype(dtype)),
+        grid=(n_blocks,),
+        out_shape=tuple(out_shapes),
+        in_specs=[
+            pl.BlockSpec((c_in, bb, N_PAD), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, latent), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+            _full_spec(ops.wp.shape),
+        ],
+        out_specs=tuple(out_specs),
+        compiler_params=pltpu.CompilerParams(
+            # the remat backward's live set (stored layer inputs + one
+            # layer's transients + grad accumulators) exceeds the default
+            # 16 MB scoped-vmem budget at ghost_size 32; v5e has 128 MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x_t, dz, *w_args, ops.wp)
+    d_layers = tuple(
+        LayerOps(*outs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)])
+        for l in range(n_layers)
+    )
+    return EncoderOps(layers=d_layers,
+                      wp=outs[N_LAYER_OPS * n_layers],
+                      bp=outs[N_LAYER_OPS * n_layers + 1])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_ghost_encode(x_t, ops, n_valid, ghost_size, res_identity,
+                       interpret=False, dtype="float32"):
+    """Fused ghost-BN STSE encode. x_t: [C_in, B, N_PAD] (node-padded,
+    channel-major); returns (z [B, latent] fp32, per-layer pre-BN sum
+    4-tuples for the running-stat update).
+
+    NOTE: the VJP returns a ZERO cotangent for x_t — the input is data
+    (gathered windows), never a function of trainable parameters. Do not
+    place differentiable computation upstream of x_t."""
+    return _fwd_pallas(x_t, ops, n_valid, ghost_size, res_identity,
+                       interpret, dtype)
+
+
+def _fge_fwd(x_t, ops, n_valid, ghost_size, res_identity, interpret, dtype):
+    out = _fwd_pallas(x_t, ops, n_valid, ghost_size, res_identity, interpret,
+                      dtype)
+    return out, (x_t, ops)
+
+
+def _fge_bwd(n_valid, ghost_size, res_identity, interpret, dtype, residuals,
+             cts):
+    x_t, ops = residuals
+    dz, _ = cts  # stat-sum cotangents are structurally zero (non-diff path)
+    d_ops = _bwd_pallas(x_t, dz, ops, n_valid, ghost_size, res_identity,
+                        interpret, dtype)
+    return jnp.zeros_like(x_t), d_ops
+
+
+fused_ghost_encode.defvjp(_fge_fwd, _fge_bwd)
+
+
+def fused_stse_apply(
+    params: Dict,
+    batch_stats: Dict,
+    x: jax.Array,
+    ghost_size: int = 32,
+    momentum: float = 0.9,
+    interpret: bool = False,
+    impl: str = "pallas",
+    axis_name: Optional[str] = None,
+    compute_dtype: str = "float32",
+) -> Tuple[jax.Array, Dict]:
+    """Drop-in train-mode STSE encode: [B, C_in, T, V] -> (z, new_batch_stats).
+
+    Equivalent to model.apply(..., train=True, mutable=['batch_stats']) with
+    ghost BatchNorm of size `ghost_size` (see module docstring); the running
+    statistics are exact full-batch moments folded with flax's momentum EMA.
+
+    impl='pallas' runs the fused kernels; impl='reference' runs the
+    semantically-identical pure-jnp spec (any backend, used by the CPU mesh
+    tests). axis_name: when called inside shard_map over a data axis, the
+    running-statistic sums are psum'ed over it so every shard folds the
+    exact full-global-batch moments.
+    """
+    b = x.shape[0]
+    if impl == "reference":
+        z, layer_sums = ghost_encode_reference(params, x, ghost_size)
+        layer_sums = [
+            {k: jax.lax.stop_gradient(v) for k, v in s.items()}
+            for s in layer_sums
+        ]
+    else:
+        b, c_in, t, v = x.shape
+        n = t * v
+        assert n <= N_PAD and b % ghost_size == 0, (b, ghost_size, n)
+        ops = encoder_ops_from_tree(params, n)
+        res_identity = has_identity_residual(params)
+        x_t = jnp.transpose(x.reshape(b, c_in, n), (1, 0, 2)).astype(
+            jnp.dtype(compute_dtype)
+        )
+        x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, N_PAD - n)))
+        z, sums = fused_ghost_encode(x_t, ops, n, ghost_size, res_identity,
+                                     interpret, compute_dtype)
+        cnt = jnp.asarray(b * n, jnp.float32)
+        layer_sums = [
+            {
+                "tcn_sum": jax.lax.stop_gradient(s[0][:, 0]),
+                "tcn_sumsq": jax.lax.stop_gradient(s[1][:, 0]),
+                "res_sum": jax.lax.stop_gradient(s[2][:, 0]),
+                "res_sumsq": jax.lax.stop_gradient(s[3][:, 0]),
+                "count": cnt,
+            }
+            for s in sums
+        ]
+    if axis_name is not None:
+        layer_sums = jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a, axis_name), layer_sums
+        )
+    new_stats = updated_batch_stats(batch_stats, params, layer_sums, momentum)
+    return z, new_stats
+
+
+def updated_batch_stats(
+    batch_stats: Dict, params: Dict, layer_sums: List[Dict[str, jax.Array]],
+    momentum: float = 0.9,
+) -> Dict:
+    """Fold the kernel's full-batch pre-BN sums into flax-style running
+    statistics (momentum EMA of the biased batch mean/var, like
+    nn.BatchNorm)."""
+    new = jax.tree_util.tree_map(lambda a: a, batch_stats)  # shallow copy
+    enc_old = batch_stats["encoder"]
+    enc_new = dict(enc_old)
+    for i, s in enumerate(layer_sums):
+        name = f"layer_{i}"
+        cnt = s["count"]
+        site = dict(enc_old[name])
+
+        def ema(old, mean, var):
+            return (
+                momentum * old["mean"] + (1 - momentum) * mean,
+                momentum * old["var"] + (1 - momentum) * var,
+            )
+
+        t_mean = s["tcn_sum"] / cnt
+        t_var = jnp.maximum(s["tcn_sumsq"] / cnt - t_mean * t_mean, 0.0)
+        m, v = ema(enc_old[name]["tcn_bn"], t_mean, t_var)
+        site["tcn_bn"] = {"mean": m, "var": v}
+        if "residual_bn" in enc_old[name]:
+            r_mean = s["res_sum"] / cnt
+            r_var = jnp.maximum(s["res_sumsq"] / cnt - r_mean * r_mean, 0.0)
+            m, v = ema(enc_old[name]["residual_bn"], r_mean, r_var)
+            site["residual_bn"] = {"mean": m, "var": v}
+        enc_new[name] = site
+    out = dict(new)
+    out["encoder"] = enc_new
+    return out

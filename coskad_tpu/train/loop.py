@@ -146,6 +146,62 @@ class Trainer:
         # fit(state, epochs=1) calls, like the shuffle stream above.
         self._best_auc = -np.inf
         self._since_best = 0
+        # Fused ghost-BN train kernel (kernels/stse_train.py): static
+        # compatibility; the per-batch divisibility check happens at trace
+        # time in _forward. Tensor parallelism shards the projector kernel,
+        # which the fused kernel needs whole -> XLA path there.
+        self._fused_compat = (
+            cfg.run.fused_train != "off"
+            and cfg.model.encoder_type == "sts_gcn"
+            and cfg.model.projector == "linear"
+            and cfg.model.dropout == 0
+            and not cfg.model.use_decoder  # AE/VAE decoder: XLA path for now
+            and self.mesh.shape[pmesh.MODEL_AXIS] == 1
+        )
+        if cfg.run.fused_train == "on" and not self._fused_compat:
+            raise ValueError(
+                "fused_train='on' requires sts_gcn encoder, linear projector, "
+                "dropout 0, an encoder-only variant and model_parallel 1"
+            )
+
+    def _fused_apply(self, params, batch_stats, batch):
+        """Fused-kernel train-mode encode, shard_map'ed over the data axis
+        when the mesh has more than one data shard (params replicated,
+        batch sharded, stat sums psum'ed so every shard folds global
+        running statistics)."""
+        from ..kernels.stse_train import fused_stse_apply
+
+        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+        ghost = self.cfg.run.ghost_size
+        cdtype = self.cfg.run.compute_dtype
+        n_data = self.mesh.shape[pmesh.DATA_AXIS]
+        if n_data == 1:
+            return fused_stse_apply(
+                params, batch_stats, batch, ghost_size=ghost, impl=impl,
+                compute_dtype=cdtype,
+            )
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            functools.partial(
+                fused_stse_apply, ghost_size=ghost, impl=impl,
+                axis_name=pmesh.DATA_AXIS, compute_dtype=cdtype,
+            ),
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(pmesh.DATA_AXIS)),
+            out_specs=(P(pmesh.DATA_AXIS), P()),
+            check_vma=False,
+        )
+        return fn(params, batch_stats, batch)
+
+    def _fused_usable(self, batch) -> bool:
+        """Trace-time check: fused path for this batch shape?"""
+        if not self._fused_compat:
+            return False
+        b = batch.shape[0]
+        n_data = self.mesh.shape[pmesh.DATA_AXIS]
+        per_shard = b // n_data
+        return b % n_data == 0 and per_shard % self.cfg.run.ghost_size == 0
 
     def _device_data(self, ds):
         if isinstance(ds, TrajectoryStore):
@@ -194,6 +250,12 @@ class Trainer:
 
     def _forward(self, params, batch_stats, batch, train: bool, rng=None,
                  frozen_bn: bool = False):
+        # Fused ghost-BN Pallas path (train-mode, live statistics): the
+        # whole encoder fwd(+custom-VJP bwd) runs as one kernel per
+        # direction with VMEM-resident activations. Encoder-only variants
+        # return the latent directly, so `out` IS z here.
+        if train and not frozen_bn and self._fused_usable(batch):
+            return self._fused_apply(params, batch_stats, batch)
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = {"train": train, "frozen_bn": frozen_bn}
         rngs = {}
