@@ -114,3 +114,105 @@ def test_per_clip_auc_table_formats():
 
     with pytest.raises(ValueError):
         per_clip_auc_table(d, fmt="html")
+
+
+def test_plot_latent_sphere(tmp_path, rng):
+    from coskad_tpu.visualize import plot_latent_sphere
+
+    # spherical latents: unit-norm 16-d vectors (the spherical-VAE case)
+    z = rng.normal(size=(150, 16))
+    z /= np.linalg.norm(z, axis=1, keepdims=True)
+    dists = plot_latent_sphere(z, center=np.zeros(16),
+                               path=str(tmp_path / "sphere.png"))
+    assert os.path.getsize(tmp_path / "sphere.png") > 0
+    assert np.allclose(dists, 1.0)
+    # 3-d latents take the direct (un-projected) path
+    plot_latent_sphere(rng.normal(size=(40, 3)),
+                       path=str(tmp_path / "s3.png"))
+    assert os.path.getsize(tmp_path / "s3.png") > 0
+
+
+def test_plot_person_scores(tmp_path, rng):
+    from coskad_tpu.visualize import plot_person_scores
+
+    e = np.abs(rng.normal(size=(4, 120))) + 1e-3
+    gt = np.zeros(120)
+    gt[40:80] = 1
+    clip_score = plot_person_scores(e, gt, path=str(tmp_path / "pp.png"))
+    assert os.path.getsize(tmp_path / "pp.png") > 0
+    assert clip_score.shape == (120,)
+    # the shift zeroes the head of the smoothed curve's source
+    assert np.all(np.isfinite(clip_score))
+
+
+def test_ubnormal_original_name():
+    from coskad_tpu.visualize import ubnormal_original_name
+
+    # notebook translate_to_original_name semantics (visualize.ipynb):
+    # scenario = first TWO chars of the clip id, remainder = version suffix
+    assert ubnormal_original_name("107_020.mp4") == ("normal_scene_7_scenario_2", 7)
+    assert ubnormal_original_name("107_0251.mp4") == (
+        "normal_scene_7_scenario_2_fog", 7)
+    assert ubnormal_original_name("203_0152.mp4") == (
+        "abnormal_scene_3_scenario_1_fire", 3)
+    assert ubnormal_original_name("203_015.mp4") == (
+        "abnormal_scene_3_scenario_1", 3)
+    # normal clip with a numeric (non fog/fire/smoke) version suffix
+    assert ubnormal_original_name("101_012.mp4") == (
+        "normal_scene_1_scenario_1_2", 1)
+
+
+def test_hr_stats_table():
+    from coskad_tpu.visualize import hr_stats_table
+
+    stats = {
+        "total_frames": {"global_stats": 1000},  # skipped (no details)
+        "203_015.mp4": {"details": {
+            "length": 300, "discarded_frames": 12, "perc_discarded": 4.0,
+            "normal_frames": 200, "anomalous_frames": 100,
+            "perc_abnormality": 33.3}},
+        "204_010.mp4": {"details": {
+            "length": 250, "discarded_frames": 0, "perc_discarded": 0.0,
+            "perc_abnormality": 10.0}},  # filtered: no discarded frames
+        "107_020.mp4": {"details": {
+            "length": 100, "discarded_frames": 5, "perc_discarded": 5.0,
+            "perc_abnormality": 0.0}},  # filtered: normal clip
+    }
+    tex = hr_stats_table(stats)
+    assert tex.startswith(r"\begin{longtable}")
+    assert r"\verb|abnormal_scene_3_scenario_1| & 300 & 12" in tex
+    assert "204_010" not in tex and "normal_scene_7" not in tex
+    md = hr_stats_table(stats, fmt="markdown")
+    assert md.count("\n") == 2  # header + sep + one row (no trailing \n)
+    with pytest.raises(ValueError):
+        hr_stats_table(stats, fmt="html")
+
+
+def test_viz_app_headless(tmp_path, rng):
+    """The Streamlit app's headless fallback renders every clip."""
+    from coskad_tpu.visualize.app import find_clip_jsons, main
+
+    clip_dir = tmp_path / "alphapose" / "clip_a"
+    clip_dir.mkdir(parents=True)
+    with open(clip_dir / "alphapose-results-forvis-tracked.json", "w") as f:
+        json.dump(_tiny_clip(rng, n_frames=3), f)
+    found = find_clip_jsons(str(tmp_path / "alphapose"))
+    assert len(found) == 1
+    out_dir = tmp_path / "out"
+    main(["--data-dir", str(tmp_path / "alphapose"),
+          "--out-dir", str(out_dir), "--dataset", "avenue"])
+    outs = list(out_dir.iterdir())
+    assert len(outs) == 1 and outs[0].stat().st_size > 0
+    assert outs[0].name == "clip_a.gif"
+
+    # flat layout: one output PER FILE, named by the json stem
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for name in ("01_0001_tracked", "01_0002_tracked"):
+        with open(flat / f"{name}.json", "w") as f:
+            json.dump(_tiny_clip(rng, n_frames=3), f)
+    out2 = tmp_path / "out2"
+    main(["--data-dir", str(flat), "--out-dir", str(out2),
+          "--dataset", "avenue"])
+    assert sorted(p.name for p in out2.iterdir()) == [
+        "01_0001_tracked.gif", "01_0002_tracked.gif"]
