@@ -99,21 +99,54 @@ def _array_tree(state: TrainState):
     return jax.tree.map(np.asarray, serialization.to_state_dict(state))
 
 
+# Async saves share one AsyncCheckpointer: it owns the background thread
+# pool, and keeping it alive between saves is the Orbax-recommended pattern
+# (a fresh one per save would block on construction and teardown).
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves() -> None:
+    """Block until every scheduled async Orbax save has committed. Call
+    before reading a just-saved checkpoint or at clean shutdown."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_orbax(
     path: str,
     state: TrainState,
     cfg: Optional[Config] = None,
     scaler: Optional[RobustScalerState] = None,
     extra: Optional[dict] = None,
+    async_save: bool = False,
 ) -> str:
     """Write an Orbax (directory) checkpoint. Scaler and extra metadata go
     to a `<path>.extra.json` sidecar; config snapshots to
-    `<path>.config.json` like the msgpack flavor."""
+    `<path>.config.json` like the msgpack flavor.
+
+    async_save=True schedules the array write on Orbax's background thread
+    and returns as soon as the host copy is snapshotted — the training loop
+    keeps dispatching while bytes hit disk. The directory is complete only
+    after `wait_for_async_saves()`; Orbax writes a commit marker, so a
+    half-written directory is detected (and refused) at restore."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _array_tree(state), force=True)
+    if async_save:
+        _async_checkpointer().save(path, args=ocp.args.StandardSave(
+            _array_tree(state)), force=True)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, _array_tree(state), force=True)
     sidecar = {"extra": extra or {}}
     if scaler is not None:
         sidecar["scaler"] = {"center": np.asarray(scaler.center).tolist(),

@@ -240,6 +240,23 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     # overwrite-in-place must not fail (force=True path)
     checkpoint.save_orbax(path, state)
 
+    # async flavor: returns before commit; wait_for_async_saves() makes the
+    # directory readable, contents identical to the sync save
+    apath = os.path.join(str(tmp_path), "orbax_async_ck")
+    checkpoint.save_orbax(apath, state, cfg, scaler=scaler,
+                          extra={"epoch": 3}, async_save=True)
+    checkpoint.wait_for_async_saves()
+    restored3, scaler3, extra3 = checkpoint.restore_orbax(
+        apath, trainer2.init_state())
+    assert extra3 == {"epoch": 3}
+    np.testing.assert_allclose(np.asarray(restored3.center),
+                               np.asarray(state.center))
+    import jax
+
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored3.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+
 
 def test_cli_device_pipeline_matches_windows_pipeline(tmp_path):
     """device_pipeline: true routes the CLIs through the fused on-device
