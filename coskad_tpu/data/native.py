@@ -125,3 +125,21 @@ def load_csv_native(path: str):
     if n_rows == 0:
         return np.empty((0, 0))
     return np.frombuffer(buf, dtype=np.float64).reshape(n_rows, n_cols)
+
+
+def load_csv_files_native(paths: List[str], n_threads: int = 0):
+    """Read + parse many Morais trajectory CSVs with IO and parsing off the
+    GIL on a C++ thread pool; returns [rows, cols] float64 arrays aligned
+    with `paths` (caller keeps its own enumeration order), or None when the
+    extension is unavailable. n_threads<=0 means hardware concurrency."""
+    mod = _load_native()
+    if mod is None or not hasattr(mod, "parse_csv_files"):
+        return None
+    out = []
+    for n_rows, n_cols, buf in mod.parse_csv_files(list(paths), n_threads):
+        if n_rows == 0:
+            out.append(np.empty((0, 0)))
+        else:
+            out.append(np.frombuffer(buf, dtype=np.float64).reshape(
+                n_rows, n_cols))
+    return out

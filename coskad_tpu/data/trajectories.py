@@ -202,20 +202,37 @@ def _read_csv(path: str) -> np.ndarray:
 def load_trajectories(
     trajectories_path: str, debug: bool = False, split: str = "train"
 ) -> "OrderedDict[str, Trajectory]":
-    """Walk <path>/<clip_folder>/<person>.csv; id = '<folder>_<person>'."""
+    """Walk <path>/<clip_folder>/<person>.csv; id = '<folder>_<person>'.
+
+    The walk enumerates in os.listdir order (reference utils/data.py
+    load_trajectories semantics); parsing is batched through the C++ thread
+    pool (native.load_csv_files_native — IO + strtod off the GIL) when the
+    extension builds, which is where the reference's serial per-file Python
+    loop hurts at UBnormal scale. COSKAD_NATIVE=0 forces the numpy path."""
     trajectories: OrderedDict[str, Trajectory] = OrderedDict()
     folders = os.listdir(trajectories_path)
     if debug and split == "train":
         folders = folders[:5]
+    tids, paths = [], []
     for folder in folders:
         for csv_name in os.listdir(os.path.join(trajectories_path, folder)):
-            arr = _read_csv(os.path.join(trajectories_path, folder, csv_name))
-            tid = folder + "_" + csv_name.split(".")[0]
-            trajectories[tid] = Trajectory(
-                trajectory_id=tid,
-                frames=arr[:, 0].astype(np.int32),
-                coordinates=arr[:, 1:],
-            )
+            tids.append(folder + "_" + csv_name.split(".")[0])
+            paths.append(os.path.join(trajectories_path, folder, csv_name))
+    arrays = None
+    if paths and os.environ.get("COSKAD_NATIVE", "1") != "0":
+        from .native import load_csv_files_native
+
+        arrays = load_csv_files_native(paths)
+        if arrays is not None:
+            arrays = [a.astype(np.float32) for a in arrays]
+    if arrays is None:
+        arrays = [_read_csv(p) for p in paths]
+    for tid, arr in zip(tids, arrays):
+        trajectories[tid] = Trajectory(
+            trajectory_id=tid,
+            frames=arr[:, 0].astype(np.int32),
+            coordinates=arr[:, 1:],
+        )
     return trajectories
 
 

@@ -15,10 +15,13 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <atomic>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <stdexcept>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -308,10 +311,42 @@ static PyObject* parse_clip(PyObject*, PyObject* args) {
   return out;
 }
 
+namespace {
+
+// Shared CSV core: comma-separated floats, one trajectory row per line (the
+// Morais CSV format: frame, x1, y1, ..., x17, y17). Blank lines skipped;
+// ragged rows throw.
+void parse_csv_buffer(const char* data, size_t len, std::vector<double>& values,
+                      size_t& n_rows, size_t& n_cols) {
+  const char* p = data;
+  const char* end = data + len;
+  n_rows = n_cols = 0;
+  while (p < end) {
+    // skip blank lines
+    while (p < end && (*p == '\n' || *p == '\r')) ++p;
+    if (p >= end) break;
+    size_t cols = 0;
+    while (true) {
+      char* num_end = nullptr;
+      double v = std::strtod(p, &num_end);
+      if (num_end == p) throw std::runtime_error("bad number in CSV");
+      values.push_back(v);
+      ++cols;
+      p = num_end;
+      while (p < end && (*p == ' ' || *p == '\t')) ++p;
+      if (p < end && *p == ',') { ++p; continue; }
+      break;
+    }
+    while (p < end && *p != '\n') ++p;  // consume to EOL
+    if (n_cols == 0) n_cols = cols;
+    else if (cols != n_cols) throw std::runtime_error("ragged CSV row");
+    ++n_rows;
+  }
+}
+
+}  // namespace
+
 // parse_csv(data: bytes) -> (n_rows: int, n_cols: int, values: bytes /* f64 */)
-// Comma-separated floats, one trajectory row per line (the Morais CSV
-// format: frame, x1, y1, ..., x17, y17). Blank lines skipped; ragged rows
-// raise ValueError.
 static PyObject* parse_csv(PyObject*, PyObject* args) {
   const char* data;
   Py_ssize_t len;
@@ -322,29 +357,7 @@ static PyObject* parse_csv(PyObject*, PyObject* args) {
   std::string error;
   Py_BEGIN_ALLOW_THREADS;
   try {
-    const char* p = data;
-    const char* end = data + len;
-    while (p < end) {
-      // skip blank lines
-      while (p < end && (*p == '\n' || *p == '\r')) ++p;
-      if (p >= end) break;
-      size_t cols = 0;
-      while (true) {
-        char* num_end = nullptr;
-        double v = std::strtod(p, &num_end);
-        if (num_end == p) throw std::runtime_error("bad number in CSV");
-        values.push_back(v);
-        ++cols;
-        p = num_end;
-        while (p < end && (*p == ' ' || *p == '\t')) ++p;
-        if (p < end && *p == ',') { ++p; continue; }
-        break;
-      }
-      while (p < end && *p != '\n') ++p;  // consume to EOL
-      if (n_cols == 0) n_cols = cols;
-      else if (cols != n_cols) throw std::runtime_error("ragged CSV row");
-      ++n_rows;
-    }
+    parse_csv_buffer(data, static_cast<size_t>(len), values, n_rows, n_cols);
   } catch (const std::exception& e) {
     error = e.what();
   }
@@ -360,11 +373,102 @@ static PyObject* parse_csv(PyObject*, PyObject* args) {
                        static_cast<Py_ssize_t>(n_cols), buf);
 }
 
+// parse_csv_files(paths: list[str], n_threads: int) ->
+//   list[(n_rows: int, n_cols: int, values: bytes /* f64 */)]
+//
+// Reads and parses many Morais trajectory CSVs with IO + parse off the GIL
+// on a small thread pool (the reference walks thousands of per-person CSVs
+// serially in Python, utils/data.py load_trajectories; SURVEY.md flags the
+// walk as the robust-pipeline startup cost). Enumeration order is the
+// caller's: results are positionally aligned with `paths`, so the Python
+// shim's os.listdir ordering semantics are untouched.
+static PyObject* parse_csv_files(PyObject*, PyObject* args) {
+  PyObject* path_list;
+  Py_ssize_t n_threads = 0;
+  if (!PyArg_ParseTuple(args, "O!|n", &PyList_Type, &path_list, &n_threads))
+    return nullptr;
+  const Py_ssize_t n = PyList_GET_SIZE(path_list);
+  std::vector<std::string> paths(static_cast<size_t>(n));
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* item = PyList_GET_ITEM(path_list, i);
+    const char* s = PyUnicode_AsUTF8(item);
+    if (!s) return nullptr;
+    paths[static_cast<size_t>(i)] = s;
+  }
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? static_cast<Py_ssize_t>(hw) : 1;
+  }
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+
+  struct FileResult {
+    std::vector<double> values;
+    size_t n_rows = 0, n_cols = 0;
+    std::string error;
+  };
+  std::vector<FileResult> results(paths.size());
+
+  Py_BEGIN_ALLOW_THREADS;
+  {
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (size_t i = next.fetch_add(1); i < paths.size();
+           i = next.fetch_add(1)) {
+        FileResult& r = results[i];
+        try {
+          std::FILE* f = std::fopen(paths[i].c_str(), "rb");
+          if (!f) throw std::runtime_error("cannot open " + paths[i]);
+          std::fseek(f, 0, SEEK_END);
+          long sz = std::ftell(f);
+          std::fseek(f, 0, SEEK_SET);
+          std::string buf(static_cast<size_t>(sz > 0 ? sz : 0), '\0');
+          if (sz > 0 && std::fread(&buf[0], 1, buf.size(), f) != buf.size()) {
+            std::fclose(f);
+            throw std::runtime_error("short read on " + paths[i]);
+          }
+          std::fclose(f);
+          parse_csv_buffer(buf.data(), buf.size(), r.values, r.n_rows,
+                           r.n_cols);
+        } catch (const std::exception& e) {
+          r.error = std::string(e.what()) + " [" + paths[i] + "]";
+        }
+      }
+    };
+    std::vector<std::thread> pool;
+    for (Py_ssize_t t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS;
+
+  for (const FileResult& r : results) {
+    if (!r.error.empty()) {
+      PyErr_SetString(PyExc_ValueError, r.error.c_str());
+      return nullptr;
+    }
+  }
+  PyObject* out = PyList_New(n);
+  if (!out) return nullptr;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    const FileResult& r = results[static_cast<size_t>(i)];
+    PyObject* buf = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(r.values.data()),
+        static_cast<Py_ssize_t>(r.values.size() * sizeof(double)));
+    PyObject* tup = Py_BuildValue("nnN", static_cast<Py_ssize_t>(r.n_rows),
+                                  static_cast<Py_ssize_t>(r.n_cols), buf);
+    if (!tup) { Py_DECREF(out); return nullptr; }
+    PyList_SET_ITEM(out, i, tup);
+  }
+  return out;
+}
+
 static PyMethodDef methods[] = {
     {"parse_clip", parse_clip, METH_VARARGS,
      "Parse an AlphaPose tracked-person clip JSON into per-person buffers."},
     {"parse_csv", parse_csv, METH_VARARGS,
      "Parse a comma-separated float matrix (Morais trajectory CSV)."},
+    {"parse_csv_files", parse_csv_files, METH_VARARGS,
+     "Read + parse many trajectory CSVs on a thread pool (GIL released)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

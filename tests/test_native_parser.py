@@ -198,8 +198,70 @@ def test_robust_pipeline_native_csv_equivalence(tmp_path, rng, monkeypatch):
     monkeypatch.setenv("COSKAD_NATIVE_CSV", "1")
     t_native = load_trajectories(str(tmp_path / "training" / "trajectories"))
     monkeypatch.setenv("COSKAD_NATIVE_CSV", "0")
+    monkeypatch.setenv("COSKAD_NATIVE", "0")  # also bypass the batched walk
     t_python = load_trajectories(str(tmp_path / "training" / "trajectories"))
     for k in t_native:
         np.testing.assert_allclose(t_native[k].coordinates,
                                    t_python[k].coordinates, rtol=1e-6)
         np.testing.assert_array_equal(t_native[k].frames, t_python[k].frames)
+
+
+def test_parse_csv_files_batched(tmp_path, rng):
+    """The threaded multi-file loader returns arrays aligned with the input
+    order, matching per-file loadtxt."""
+    from coskad_tpu.data.native import load_csv_files_native, native_available
+
+    if not native_available():
+        pytest.skip("native extension unavailable")
+    paths = []
+    for i in range(7):
+        n = 5 + i
+        arr = np.concatenate([np.arange(1, n + 1)[:, None],
+                              rng.uniform(-5, 5, size=(n, 4))], axis=1)
+        p = tmp_path / f"{i:04d}.csv"
+        np.savetxt(p, arr, delimiter=",", fmt="%.7g")
+        paths.append(str(p))
+    out = load_csv_files_native(paths, n_threads=3)
+    assert len(out) == 7
+    for p, a in zip(paths, out):
+        ref = np.loadtxt(p, delimiter=",", ndmin=2)
+        np.testing.assert_allclose(a, ref, rtol=1e-6)
+
+
+def test_parse_csv_files_error_names_file(tmp_path):
+    from coskad_tpu.data.native import load_csv_files_native, native_available
+
+    if not native_available():
+        pytest.skip("native extension unavailable")
+    good = tmp_path / "good.csv"
+    good.write_text("1,2\n3,4\n")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1,2\n3\n")
+    with pytest.raises(ValueError, match="bad.csv"):
+        load_csv_files_native([str(good), str(bad)])
+    with pytest.raises(ValueError, match="missing.csv"):
+        load_csv_files_native([str(tmp_path / "missing.csv")])
+
+
+def test_load_trajectories_batched_native_default(tmp_path, rng, monkeypatch):
+    """Default path (COSKAD_NATIVE unset) routes through the batched C++
+    loader and matches the pure-numpy walk, including dict ordering."""
+    from coskad_tpu.data.trajectories import load_trajectories
+
+    for folder, n_files in (("1-1", 3), ("2-4", 2)):
+        base = tmp_path / folder
+        base.mkdir(parents=True)
+        for i in range(n_files):
+            n = 12 + i
+            arr = np.concatenate([np.arange(1, n + 1)[:, None],
+                                  rng.uniform(0, 800, size=(n, 34))], axis=1)
+            np.savetxt(base / f"{i:04d}.csv", arr, delimiter=",", fmt="%.6f")
+    monkeypatch.delenv("COSKAD_NATIVE", raising=False)
+    t_batched = load_trajectories(str(tmp_path))
+    monkeypatch.setenv("COSKAD_NATIVE", "0")
+    t_numpy = load_trajectories(str(tmp_path))
+    assert list(t_batched.keys()) == list(t_numpy.keys())
+    for k in t_batched:
+        np.testing.assert_allclose(t_batched[k].coordinates,
+                                   t_numpy[k].coordinates, rtol=1e-6)
+        np.testing.assert_array_equal(t_batched[k].frames, t_numpy[k].frames)
