@@ -23,6 +23,10 @@ def main(argv=None):
                         help="autoencoder scoring mode (reference rule: 0 -> "
                              "latent distance, >100 -> reconstruction, else "
                              "rec/weight + latent)")
+    parser.add_argument("--save-scores", default=None, metavar="DIR",
+                        help="dump per-clip per-person score npys in the "
+                             "analysis-notebook layout (error_per_person_"
+                             "scene_S_scenario_C.npy + gt_masks/)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compile_cache
@@ -94,6 +98,7 @@ def main(argv=None):
         scores, trans, meta, frames, gts,
         ScoringConfig(num_transform=k, pad_size=cfg.eval.pad_size),
         hr_clip_masks=hr_masks, avenue_clip_masks=avenue,
+        save_scores_dir=args.save_scores,
     )
     # Per-clip AUC inside every transform iteration with a running average,
     # structurally matching the reference's printout (eval_COSKAD.py:222-240).

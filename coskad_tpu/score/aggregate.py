@@ -57,6 +57,7 @@ def evaluate_windows(
     cfg: ScoringConfig,
     hr_clip_masks: Optional[Dict[Tuple[int, int], np.ndarray]] = None,
     avenue_clip_masks: Optional[Dict[int, np.ndarray]] = None,
+    save_scores_dir: Optional[str] = None,
 ) -> EvalResult:
     """Aggregate per-window anomaly scores into a frame-level AUC.
 
@@ -70,6 +71,11 @@ def evaluate_windows(
         cfg: scoring configuration.
         hr_clip_masks: optional {(scene, clip): bool mask} (HR-UBnormal).
         avenue_clip_masks: optional {clip: bool mask} (HR-Avenue table).
+        save_scores_dir: when set, dump transform-0 per-clip artifacts in the
+            layout the reference's analysis notebook reads
+            (visualize/visualize.ipynb: `saved_clip_scores/
+            error_per_person_scene_{s}_scenario_{c}.npy` [P, F] + `gt_masks/
+            scene_{s}_scenario_{c}.npy`) for plot_person_scores et al.
     """
     window_scores = np.asarray(window_scores)
     trans = np.asarray(trans)
@@ -133,6 +139,21 @@ def evaluate_windows(
                         [pad_scores(row, n_frames, cfg.pad_size) for row in per_actor]
                     )
                 clip_score = np.amax(per_actor, axis=0)
+
+            if save_scores_dir is not None and transformation == 0:
+                import os
+
+                os.makedirs(os.path.join(save_scores_dir, "gt_masks"),
+                            exist_ok=True)
+                epp = (per_actor if len(meta_sc) else
+                       np.zeros((1, n_frames)))
+                np.save(os.path.join(
+                    save_scores_dir,
+                    f"error_per_person_scene_{scene_idx}_scenario_{clip_idx}.npy",
+                ), epp)
+                np.save(os.path.join(
+                    save_scores_dir, "gt_masks",
+                    f"scene_{scene_idx}_scenario_{clip_idx}.npy"), gt)
 
             if (scene_idx, clip_idx) in hr_clip_masks:
                 m = hr_clip_masks[(scene_idx, clip_idx)]

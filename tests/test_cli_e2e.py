@@ -152,6 +152,31 @@ def test_eval_cli_hr_masks_path(tmp_path):
     assert len(result.gt) == len(gt) - 50
 
 
+def test_eval_cli_save_scores(tmp_path):
+    """--save-scores dumps the notebook-layout per-clip artifacts
+    (error_per_person_scene_S_scenario_C.npy [P, F] + gt_masks/) that
+    visualize.plot_person_scores consumes."""
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli import train as train_cli
+    from coskad_tpu.visualize import plot_person_scores
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+    out_dir = str(tmp_path / "saved_clip_scores")
+    eval_cli.main(["--config", cfg_path, "--save-scores", out_dir])
+
+    gt_path = os.path.join(str(tmp_path), "gt", "01_0001.npy")
+    gt_ref = np.load(gt_path)
+    epp = np.load(os.path.join(out_dir,
+                               "error_per_person_scene_1_scenario_1.npy"))
+    gt = np.load(os.path.join(out_dir, "gt_masks", "scene_1_scenario_1.npy"))
+    assert epp.ndim == 2 and epp.shape[1] == len(gt_ref)
+    np.testing.assert_array_equal(gt, gt_ref)
+    plot_person_scores(epp, gt, path=str(tmp_path / "pp.png"))
+    assert os.path.getsize(tmp_path / "pp.png") > 0
+
+
 def test_train_cli_resume_continues_epochs(tmp_path, capsys):
     """--resume restores last.ckpt and continues from the next epoch with
     the trainer state reattached (mesh-sharded center/opt hyperparams)."""
