@@ -254,22 +254,30 @@ def ghost_encode_reference(
 N_LAYER_OPS = len(LayerOps._fields)
 
 
-def _col_mask(bb: int, n_valid: int):
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, bb * N_PAD), 1)
-    return (col % N_PAD) < n_valid
+def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
+               dtype=jnp.float32):
+    """One ST-GCNN layer on a 3D [C_in, bb, N_PAD] activation.
 
+    TPU layout strategy (measured, see module docstring): every reshape used
+    here is a free major-axis merge/split (tiles never move); the dense is a
+    2Dx3D dot ('jc,cbn->jbn', same cost as the 2D form); and there are NO
+    masking passes — the zero-padded node columns hold per-channel CONSTANTS
+    (tracked analytically in `kpad` [C_in, 1]), so valid-only statistics are
+    full-array reductions plus O(C) corrections.
 
-def _layer_fwd(x2, refs, bb, n_valid, res_identity, dtype=jnp.float32):
-    """One ST-GCNN layer on a [C_in, bb*N_PAD] activation (dtype = compute
-    dtype for activations/relayouts; statistics and BN math stay float32).
-    Returns (y2, pre, internals) where internals are what the backward
-    needs: (g2, t, t_mean, t_var, r, r_mean, r_var, sums4)."""
+    Invariants making that exact: the graph matrix has zero pad rows/cols,
+    so g3's pad columns are exactly 0 and t3's pad value is exactly the tcn
+    bias; the residual branch's pad value is Wres @ kpad + b_res.
+
+    Returns (y3, kpad_next, internals) with internals = (g3, t3, t_mean,
+    t_inv_std, r3, r_mean, r_inv_std, r_pad, scale_t, shift_t, scale_r,
+    shift_r, pre_pad, sums4).
+    """
     (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = refs
-    c_in = x2.shape[0]
+    c_in = x3.shape[0]
     c_out = wt.shape[0]
-    cols = bb * N_PAD
-    mask = _col_mask(bb, n_valid)
-    inv_cnt = 1.0 / (bb * n_valid)
+    cnt = bb * n_valid
+    npad_cnt = float(bb * (N_PAD - n_valid))
 
     def dot(a, bmat):
         return jax.lax.dot_general(
@@ -277,37 +285,63 @@ def _layer_fwd(x2, refs, bb, n_valid, res_identity, dtype=jnp.float32):
             preferred_element_type=jnp.float32,
         )
 
-    # combined space-time graph contraction over the node axis
-    g2 = dot(x2.reshape(c_in * bb, N_PAD), m[:]).astype(dtype).reshape(
-        c_in, cols
+    def dotg(w, a3):  # 'jc,cbn->jbn'
+        return jax.lax.dot_general(
+            w.astype(dtype), a3.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def colsum(a3):  # [C, bb, N] -> [C, 1] (single-axis reduces only:
+        # a multi-axis jnp.sum SIGABRTs this Mosaic version)
+        return jnp.sum(jnp.sum(a3, axis=2), axis=1).reshape(-1, 1)
+
+    # combined space-time graph contraction (free reshapes around one dot)
+    g3 = dot(x3.reshape(c_in * bb, N_PAD), m[:]).astype(dtype).reshape(
+        c_in, bb, N_PAD
     )
-    t = dot(wt[:], g2) + b[:]  # fp32
-    tm = jnp.where(mask, t, 0.0)
-    t_sum = jnp.sum(tm, axis=1, keepdims=True)
-    t_sumsq = jnp.sum(tm * tm, axis=1, keepdims=True)
-    t_mean = t_sum * inv_cnt
-    t_var = jnp.maximum(t_sumsq * inv_cnt - t_mean * t_mean, 0.0)
-    tn = gamma[:] * (t - t_mean) * jax.lax.rsqrt(t_var + BN_EPS) + beta[:]
+    t3 = dotg(wt[:], g3) + b[:][:, None, :]  # broadcast
+    t_pad = b[:]
+    t_sum = colsum(t3) - npad_cnt * t_pad
+    t_sumsq = colsum(t3 * t3) - npad_cnt * t_pad * t_pad
+    t_mean = t_sum / cnt
+    t_var = jnp.maximum(t_sumsq / cnt - t_mean * t_mean, 0.0)
+    t_inv_std = jax.lax.rsqrt(t_var + BN_EPS)
+    scale_t = gamma[:] * t_inv_std
+    shift_t = beta[:] - t_mean * scale_t
+
     if res_identity:
-        r, r_mean, r_var = None, None, None
-        rn = x2.astype(jnp.float32)
+        r3 = x3.astype(jnp.float32)
+        r_pad = kpad
+        r_mean = jnp.zeros((c_out, 1), jnp.float32)
+        r_inv_std = jnp.ones((c_out, 1), jnp.float32)
+        scale_r = jnp.ones((c_out, 1), jnp.float32)
+        shift_r = jnp.zeros((c_out, 1), jnp.float32)
         r_sum = jnp.zeros((c_out, 1), jnp.float32)
         r_sumsq = jnp.zeros((c_out, 1), jnp.float32)
     else:
-        r = dot(wt_res[:], x2) + b_res[:]
-        rm = jnp.where(mask, r, 0.0)
-        r_sum = jnp.sum(rm, axis=1, keepdims=True)
-        r_sumsq = jnp.sum(rm * rm, axis=1, keepdims=True)
-        r_mean = r_sum * inv_cnt
-        r_var = jnp.maximum(r_sumsq * inv_cnt - r_mean * r_mean, 0.0)
-        rn = (
-            gamma_res[:] * (r - r_mean) * jax.lax.rsqrt(r_var + BN_EPS)
-            + beta_res[:]
-        )
-    pre = tn + rn
-    y = jnp.where(pre >= 0, pre, alpha[0, 0] * pre).astype(dtype)
-    return y, pre, (g2, t, t_mean, t_var, r, r_mean, r_var,
-                    (t_sum, t_sumsq, r_sum, r_sumsq))
+        r3 = dotg(wt_res[:], x3) + b_res[:][:, None, :]
+        r_pad = dot(wt_res[:], kpad) + b_res[:]
+        r_sum = colsum(r3) - npad_cnt * r_pad
+        r_sumsq = colsum(r3 * r3) - npad_cnt * r_pad * r_pad
+        r_mean = r_sum / cnt
+        r_var = jnp.maximum(r_sumsq / cnt - r_mean * r_mean, 0.0)
+        r_inv_std = jax.lax.rsqrt(r_var + BN_EPS)
+        scale_r = gamma_res[:] * r_inv_std
+        shift_r = beta_res[:] - r_mean * scale_r
+
+    st = scale_t[:, None, :]
+    sht = shift_t[:, None, :]
+    sr = scale_r[:, None, :]
+    shr = shift_r[:, None, :]
+    pre3 = t3 * st + sht + r3 * sr + shr
+    y3 = jnp.where(pre3 >= 0, pre3, alpha[0, 0] * pre3).astype(dtype)
+    pre_pad = t_pad * scale_t + shift_t + r_pad * scale_r + shift_r
+    kpad_next = jnp.where(pre_pad >= 0, pre_pad, alpha[0, 0] * pre_pad)
+    return y3, kpad_next, (
+        g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
+        scale_t, shift_t, scale_r, shift_r, pre_pad,
+        (t_sum, t_sumsq, r_sum, r_sumsq),
+    )
 
 
 def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
@@ -322,11 +356,12 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
 
     i = pl.program_id(0)
     c_in = x_ref.shape[0]
-    x2 = x_ref[:].astype(dtype).reshape(c_in, bb * N_PAD)
+    x3 = x_ref[:].astype(dtype)
+    kpad = jnp.zeros((c_in, 1), jnp.float32)
     for l in range(n_layers):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
-        x2, _pre, internals = _layer_fwd(
-            x2, lrefs, bb, n_valid, res_identity[l], dtype
+        x3, kpad, internals = _layer_fwd(
+            x3, kpad, lrefs, bb, n_valid, res_identity[l], dtype
         )
         sums = internals[-1]
         for k in range(4):
@@ -340,9 +375,8 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
             def _(ref=ref, val=sums[k]):
                 ref[:] = ref[:] + val
 
-    c_h = x2.shape[0]
-    h3 = x2.reshape(c_h, bb, N_PAD)
-    hcn = jnp.transpose(h3, (0, 2, 1)).reshape(c_h * N_PAD, bb)
+    c_h = x3.shape[0]
+    hcn = jnp.transpose(x3, (0, 2, 1)).reshape(c_h * N_PAD, bb)
     z = jax.lax.dot_general(
         hcn, wp_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -350,33 +384,22 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     z_ref[:] = z + bp_ref[:]
 
 
-def _bn_bwd(dy, pre_raw, mean, var, gamma, mask, inv_cnt):
-    """Ghost-BN backward. dy: grad wrt normalized output [C, cols];
-    pre_raw: pre-BN activations; returns (d_pre_raw masked, dgamma, dbeta)."""
-    inv_std = jax.lax.rsqrt(var + BN_EPS)
-    xhat = (pre_raw - mean) * inv_std
-    dym = jnp.where(mask, dy, 0.0)
-    dgamma = jnp.sum(dym * jnp.where(mask, xhat, 0.0), axis=1, keepdims=True)
-    dbeta = jnp.sum(dym, axis=1, keepdims=True)
-    mean_dy = dbeta * inv_cnt
-    mean_dyx = dgamma * inv_cnt
-    dx = (gamma * inv_std) * (dym - mean_dy - xhat * mean_dyx)
-    return jnp.where(mask, dx, 0.0), dgamma, dbeta
-
-
 def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     """refs = x_ref, dz_ref, (10 weights per layer), wp, then outputs:
     (dm, dwt, db, dgamma, dbeta, dwt_res, db_res, dgamma_res, dbeta_res,
-     dalpha) per layer, dwp, dbp. Rematerializes the forward in VMEM."""
+     dalpha) per layer, dwp, dbp. Rematerializes the forward in VMEM; the
+    pad-column garbage this backward tolerates (see _layer_fwd) lands only
+    in dM/dWp rows and columns that the wrapper's jnp.pad cotangent slices
+    away, and the valid-only reductions use the analytic pad-constant
+    corrections instead of masking passes."""
     x_ref, dz_ref = refs[0], refs[1]
     w_refs = refs[2 : 2 + N_LAYER_OPS * n_layers]
     wp_ref = refs[2 + N_LAYER_OPS * n_layers]
     out_refs = refs[3 + N_LAYER_OPS * n_layers :]
 
     i = pl.program_id(0)
-    cols = bb * N_PAD
-    mask = _col_mask(bb, n_valid)
-    inv_cnt = 1.0 / (bb * n_valid)
+    cnt = bb * n_valid
+    npad_cnt = float(bb * (N_PAD - n_valid))
 
     def dot(a, bmat):
         return jax.lax.dot_general(
@@ -390,6 +413,18 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
             preferred_element_type=jnp.float32,
         )
 
+    def dotg(w, a3):  # 'jc,cbn->jbn'
+        return jax.lax.dot_general(
+            w.astype(dtype), a3.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def colsum(a3):  # single-axis reduces only (Mosaic constraint)
+        return jnp.sum(jnp.sum(a3, axis=2), axis=1).reshape(-1, 1)
+
+    def bcast(v):  # [C, 1] -> [C, 1, 1] broadcastable over (bb, N)
+        return v[:, None, :]
+
     def accum(ref, val):
         @pl.when(i == 0)
         def _():
@@ -401,92 +436,135 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
 
     # ---- forward remat, saving layer inputs (the only stored activations)
     c_in0 = x_ref.shape[0]
-    x_in = [x_ref[:].astype(dtype).reshape(c_in0, cols)]
+    x_in = [x_ref[:].astype(dtype)]
+    kpads = [jnp.zeros((c_in0, 1), jnp.float32)]
     for l in range(n_layers):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
-        y, _pre, _internals = _layer_fwd(
-            x_in[-1], lrefs, bb, n_valid, res_identity[l], dtype
+        y, kp, _internals = _layer_fwd(
+            x_in[-1], kpads[-1], lrefs, bb, n_valid, res_identity[l], dtype
         )
         x_in.append(y)
+        kpads.append(kp)
 
     # ---- projector backward
     c_h = x_in[-1].shape[0]
     dz = dz_ref[:].astype(jnp.float32)  # [bb, L]
-    hcn = jnp.transpose(x_in[-1].reshape(c_h, bb, N_PAD), (0, 2, 1)).reshape(
-        c_h * N_PAD, bb
-    )
+    hcn = jnp.transpose(x_in[-1], (0, 2, 1)).reshape(c_h * N_PAD, bb)
     accum(out_refs[N_LAYER_OPS * n_layers], dot(hcn, dz))  # dwp [C_h*N, L]
     accum(
         out_refs[N_LAYER_OPS * n_layers + 1],
         jnp.sum(dz, axis=0, keepdims=True),
     )  # dbp [1, L]
     dh_cn = dot(wp_ref[:], dz.T).astype(dtype)  # [C_h*N, bb]
-    dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1)).reshape(
-        c_h, cols
-    )
+    dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))  # [C_h,bb,N]
+    dy_pad = jnp.zeros((c_h, 1), jnp.float32)  # wp pad rows are zero
 
     # ---- layer backward sweep (recompute per-layer internals from x_in)
     for l in reversed(range(n_layers)):
+        lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
         (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = (
-            w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
+            lrefs
         )
-        x2 = x_in[l]
-        c_in = x2.shape[0]
-        # recompute this layer's pre-activations and ghost statistics
-        _y, pre, (g2, t, t_mean, t_var, r, r_mean, r_var, _sums) = _layer_fwd(
-            x2, w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)],
-            bb, n_valid, res_identity[l], dtype,
-        )
+        x3 = x_in[l]
+        c_in = x3.shape[0]
+        _y, _kp, (
+            g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
+            scale_t, shift_t, scale_r, shift_r, pre_pad, _sums,
+        ) = _layer_fwd(x3, kpads[l], lrefs, bb, n_valid, res_identity[l],
+                       dtype)
 
-        # PReLU backward (dy: compute dtype; pre: fp32)
-        neg = pre < 0
+        # PReLU backward: pre3 recomputed inline (fused by Mosaic with the
+        # consumers below); pad positions carry per-channel constants.
+        pre3 = (
+            t3 * bcast(scale_t) + bcast(shift_t)
+            + r3 * bcast(scale_r) + bcast(shift_r)
+        )
+        neg = pre3 < 0
         dyf = dy.astype(jnp.float32)
         dpre = jnp.where(neg, alpha[0, 0] * dyf, dyf)
-        dalpha = jnp.sum(
-            jnp.where(mask & neg, dyf * pre, 0.0), axis=1, keepdims=True
-        )
-        dalpha = jnp.sum(dalpha, axis=0, keepdims=True)  # [1, 1]
+        neg_pad = pre_pad < 0
+        dpre_pad = jnp.where(neg_pad, alpha[0, 0] * dy_pad, dy_pad)
+        dalpha_all = colsum(jnp.where(neg, dyf * pre3, 0.0))
+        dalpha_pad = jnp.where(neg_pad, dy_pad * pre_pad, 0.0)
+        dalpha = jnp.sum(dalpha_all - npad_cnt * dalpha_pad).reshape(1, 1)
         accum(out_refs[N_LAYER_OPS * l + 9], dalpha)
 
+        def bn_branch(pre_raw3, pad_raw, mean, inv_std, gam):
+            """Valid-only BN backward via analytic corrections. Returns
+            (d_raw3 [C,bb,N] fp32 incl. constant pad values, d_pad [C,1],
+            dgamma, dbeta)."""
+            s1 = colsum(dpre) - npad_cnt * dpre_pad
+            s2 = colsum(dpre * pre_raw3) - npad_cnt * (dpre_pad * pad_raw)
+            dbeta_ = s1
+            dgamma_ = inv_std * (s2 - mean * s1)
+            a_c = gam * inv_std
+            b_c = -a_c * inv_std * (dgamma_ / cnt)
+            c_c = -a_c * (s1 / cnt) - b_c * mean
+            d3 = dpre * bcast(a_c) + pre_raw3 * bcast(b_c) + bcast(c_c)
+            d_pad = dpre_pad * a_c + pad_raw * b_c + c_c
+            return d3, d_pad, dgamma_, dbeta_
+
         # tcn branch: BN -> dense -> graph
-        dt, dgamma, dbeta = _bn_bwd(
-            dpre, t, t_mean, t_var, gamma[:], mask, inv_cnt
+        dt3, dt_pad, dgamma, dbeta = bn_branch(
+            t3, b[:], t_mean, t_inv_std, gamma[:]
         )
-        dt = dt.astype(dtype)
         accum(out_refs[N_LAYER_OPS * l + 3], dgamma)
         accum(out_refs[N_LAYER_OPS * l + 4], dbeta)
-        accum(out_refs[N_LAYER_OPS * l + 1], dot(dt, g2.T))  # dwt [C_out,C_in]
-        accum(out_refs[N_LAYER_OPS * l + 2],
-              jnp.sum(dt.astype(jnp.float32), axis=1, keepdims=True))
-        dg = dot(wt[:].T, dt).astype(dtype)  # [C_in, cols]
-        dgr = dg.reshape(c_in * bb, N_PAD)
+        accum(out_refs[N_LAYER_OPS * l + 2], colsum(dt3) - npad_cnt * dt_pad)
+        dt3 = dt3.astype(dtype)
+        # dW: pad columns of g3 are exactly zero, so no masking is needed
+        cols = bb * N_PAD
+        accum(
+            out_refs[N_LAYER_OPS * l + 1],
+            dot(dt3.reshape(-1, cols),
+                dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))),
+        )  # dwt [C_out, C_in] via MXU transpose of g
+        dg3 = dotg(wt[:].T, dt3).astype(dtype)  # [C_in, bb, N]
+        dgr = dg3.reshape(c_in * bb, N_PAD)
         accum(
             out_refs[N_LAYER_OPS * l + 0],
-            dot0(x2.reshape(c_in * bb, N_PAD), dgr),
-        )  # dm [N, N]
-        dx = dot(dgr, m[:].T).astype(dtype).reshape(c_in, cols)
+            dot0(x3.reshape(c_in * bb, N_PAD), dgr),
+        )  # dm [N, N] (pad rows/cols sliced by the wrapper)
+        dx3 = dot(dgr, m[:].T).astype(dtype).reshape(c_in, bb, N_PAD)
+        dx_pad = jnp.zeros((c_in, 1), jnp.float32)  # m pad rows are zero
 
         # residual branch
         if res_identity[l]:
-            dx = dx + dpre.astype(dtype)
+            dx3 = dx3 + dpre.astype(dtype)
+            dx_pad = dx_pad + dpre_pad
             c_out = wt.shape[0]
             for k, shape in ((5, (c_out, c_in)), (6, (c_out, 1)),
                              (7, (c_out, 1)), (8, (c_out, 1))):
-                accum(out_refs[N_LAYER_OPS * l + k], jnp.zeros(shape, jnp.float32))
+                accum(out_refs[N_LAYER_OPS * l + k],
+                      jnp.zeros(shape, jnp.float32))
         else:
-            dr, dgamma_r, dbeta_r = _bn_bwd(
-                dpre, r, r_mean, r_var, gamma_res[:], mask, inv_cnt
+            dr3, dr_pad, dgamma_r, dbeta_r = bn_branch(
+                r3, r_pad, r_mean, r_inv_std, gamma_res[:]
             )
-            dr = dr.astype(dtype)
             accum(out_refs[N_LAYER_OPS * l + 7], dgamma_r)
             accum(out_refs[N_LAYER_OPS * l + 8], dbeta_r)
-            accum(out_refs[N_LAYER_OPS * l + 5], dot(dr, x2.T))
-            accum(
-                out_refs[N_LAYER_OPS * l + 6],
-                jnp.sum(dr.astype(jnp.float32), axis=1, keepdims=True),
+            accum(out_refs[N_LAYER_OPS * l + 6],
+                  colsum(dr3) - npad_cnt * dr_pad)
+            # dWres: x3's pad columns are NOT zero (per-channel constants),
+            # and subtracting their analytic contribution cancels
+            # catastrophically in fp32 — zero dr3's pad columns instead
+            # (the only masking pass in the whole backward).
+            nmask = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, N_PAD), 2
+            ) < n_valid
+            dr3 = dr3.astype(dtype)
+            dr3m = jnp.where(nmask, dr3, 0.0)
+            dwres = dot(
+                dr3m.reshape(-1, cols),
+                dot0(x3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32)),
             )
-            dx = dx + dot(wt_res[:].T, dr).astype(dtype)
-        dy = dx
+            accum(out_refs[N_LAYER_OPS * l + 5], dwres)
+            # dx keeps the UNMASKED dr3 so the array's pad columns stay equal
+            # to the analytic dx_pad constants the corrections rely on
+            dx3 = dx3 + dotg(wt_res[:].T, dr3).astype(dtype)
+            dx_pad = dx_pad + dot(wt_res[:].T, dr_pad)
+        dy = dx3
+        dy_pad = dx_pad
 
 
 # --------------------------------------------------------------------------
