@@ -253,6 +253,44 @@ def ghost_encode_reference(
 
 N_LAYER_OPS = len(LayerOps._fields)
 
+# The CPU backend cannot execute bf16 x bf16 -> f32 dots; under interpret
+# mode we round operands to bf16 and widen to f32, which reproduces the
+# MXU's semantics exactly (bf16 inputs, fp32 accumulation). Set by the
+# pallas_call wrappers before tracing.
+_INTERPRET_DOTS_WIDEN = False
+
+
+def _dop(a, dtype):
+    """Prepare a dot operand: cast to compute dtype (bf16 halves the MXU
+    input bandwidth), widening back to f32 only under interpret mode."""
+    a = a.astype(dtype)
+    if _INTERPRET_DOTS_WIDEN and a.dtype != jnp.float32:
+        a = a.astype(jnp.float32)
+    return a
+
+
+
+
+def _colsum32(a3):
+    """[C, bb, N] -> [C, 1] fp32, sequential single-axis reduces only (a
+    multi-axis jnp.sum SIGABRTs this Mosaic version); inputs upcast
+    in-flight so bf16 storage keeps fp32 accumulation."""
+    return jnp.sum(jnp.sum(a3.astype(jnp.float32), axis=2), axis=1).reshape(
+        -1, 1
+    )
+
+
+def _colsumsq32(a3):
+    a32 = a3.astype(jnp.float32)
+    return jnp.sum(jnp.sum(a32 * a32, axis=2), axis=1).reshape(-1, 1)
+
+
+def _colprod32(a3, b3):
+    return jnp.sum(
+        jnp.sum(a3.astype(jnp.float32) * b3.astype(jnp.float32), axis=2),
+        axis=1,
+    ).reshape(-1, 1)
+
 
 def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
                dtype=jnp.float32):
@@ -269,9 +307,14 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
     so g3's pad columns are exactly 0 and t3's pad value is exactly the tcn
     bias; the residual branch's pad value is Wres @ kpad + b_res.
 
+    Large intermediates (g3, t3, r3, pre3) are stored in `dtype` — at bf16
+    this halves the VPU/VMEM bytes of every elementwise pass, the dominant
+    cost of the fused step. Per-channel statistics are still accumulated in
+    fp32 (reductions upcast in-flight, which costs compute, not bandwidth).
+
     Returns (y3, kpad_next, internals) with internals = (g3, t3, t_mean,
     t_inv_std, r3, r_mean, r_inv_std, r_pad, scale_t, shift_t, scale_r,
-    shift_r, pre_pad, sums4).
+    shift_r, pre3, pre_pad, sums4).
     """
     (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = refs
     c_in = x3.shape[0]
@@ -281,28 +324,24 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            a.astype(dtype), bmat.astype(dtype), (((1,), (0,)), ((), ())),
+            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dotg(w, a3):  # 'jc,cbn->jbn'
         return jax.lax.dot_general(
-            w.astype(dtype), a3.astype(dtype), (((1,), (0,)), ((), ())),
+            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    def colsum(a3):  # [C, bb, N] -> [C, 1] (single-axis reduces only:
-        # a multi-axis jnp.sum SIGABRTs this Mosaic version)
-        return jnp.sum(jnp.sum(a3, axis=2), axis=1).reshape(-1, 1)
 
     # combined space-time graph contraction (free reshapes around one dot)
     g3 = dot(x3.reshape(c_in * bb, N_PAD), m[:]).astype(dtype).reshape(
         c_in, bb, N_PAD
     )
-    t3 = dotg(wt[:], g3) + b[:][:, None, :]  # broadcast
+    t3 = (dotg(wt[:], g3) + b[:][:, None, :]).astype(dtype)
     t_pad = b[:]
-    t_sum = colsum(t3) - npad_cnt * t_pad
-    t_sumsq = colsum(t3 * t3) - npad_cnt * t_pad * t_pad
+    t_sum = _colsum32(t3) - npad_cnt * t_pad
+    t_sumsq = _colsumsq32(t3) - npad_cnt * t_pad * t_pad
     t_mean = t_sum / cnt
     t_var = jnp.maximum(t_sumsq / cnt - t_mean * t_mean, 0.0)
     t_inv_std = jax.lax.rsqrt(t_var + BN_EPS)
@@ -310,7 +349,7 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
     shift_t = beta[:] - t_mean * scale_t
 
     if res_identity:
-        r3 = x3.astype(jnp.float32)
+        r3 = x3
         r_pad = kpad
         r_mean = jnp.zeros((c_out, 1), jnp.float32)
         r_inv_std = jnp.ones((c_out, 1), jnp.float32)
@@ -319,27 +358,28 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
         r_sum = jnp.zeros((c_out, 1), jnp.float32)
         r_sumsq = jnp.zeros((c_out, 1), jnp.float32)
     else:
-        r3 = dotg(wt_res[:], x3) + b_res[:][:, None, :]
+        r3 = (dotg(wt_res[:], x3) + b_res[:][:, None, :]).astype(dtype)
         r_pad = dot(wt_res[:], kpad) + b_res[:]
-        r_sum = colsum(r3) - npad_cnt * r_pad
-        r_sumsq = colsum(r3 * r3) - npad_cnt * r_pad * r_pad
+        r_sum = _colsum32(r3) - npad_cnt * r_pad
+        r_sumsq = _colsumsq32(r3) - npad_cnt * r_pad * r_pad
         r_mean = r_sum / cnt
         r_var = jnp.maximum(r_sumsq / cnt - r_mean * r_mean, 0.0)
         r_inv_std = jax.lax.rsqrt(r_var + BN_EPS)
         scale_r = gamma_res[:] * r_inv_std
         shift_r = beta_res[:] - r_mean * scale_r
 
-    st = scale_t[:, None, :]
-    sht = shift_t[:, None, :]
-    sr = scale_r[:, None, :]
-    shr = shift_r[:, None, :]
-    pre3 = t3 * st + sht + r3 * sr + shr
-    y3 = jnp.where(pre3 >= 0, pre3, alpha[0, 0] * pre3).astype(dtype)
+    st = scale_t.astype(dtype)[:, None, :]
+    sht = shift_t.astype(dtype)[:, None, :]
+    sr = scale_r.astype(dtype)[:, None, :]
+    shr = shift_r.astype(dtype)[:, None, :]
+    pre3 = (t3 * st + sht + r3 * sr + shr).astype(dtype)
+    alpha_d = alpha[0, 0].astype(dtype)
+    y3 = jnp.where(pre3 >= 0, pre3, alpha_d * pre3).astype(dtype)
     pre_pad = t_pad * scale_t + shift_t + r_pad * scale_r + shift_r
     kpad_next = jnp.where(pre_pad >= 0, pre_pad, alpha[0, 0] * pre_pad)
     return y3, kpad_next, (
         g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
-        scale_t, shift_t, scale_r, shift_r, pre_pad,
+        scale_t, shift_t, scale_r, shift_r, pre3, pre_pad,
         (t_sum, t_sumsq, r_sum, r_sumsq),
     )
 
@@ -391,7 +431,20 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     pad-column garbage this backward tolerates (see _layer_fwd) lands only
     in dM/dWp rows and columns that the wrapper's jnp.pad cotangent slices
     away, and the valid-only reductions use the analytic pad-constant
-    corrections instead of masking passes."""
+    corrections instead of masking passes.
+
+    Performance shape (the v2 kernel was 12+ ms because every BN-backward
+    materialized its d3 array and ran ~25 fp32 elementwise passes per
+    layer): the BN backward here is an AFFINE map d3 = a*dpre + b*raw + c
+    with per-channel scalars, so it is FOLDED into the consumers instead of
+    materialized —
+      dW   = a*(dpre @ rawT_in) + b*(raw @ rawT_in) + c*colsum(raw_in)^T
+      dx   = (W*a)^T @ dpre + (W*b)^T @ raw + W^T @ c
+      db   = a*s1 + b*raw_sum + c*cnt                      (O(C), no pass)
+    which trades big-array passes for extra small matmuls on the otherwise
+    idle MXU. Remaining big-array passes per layer: the PReLU mask/dpre,
+    dalpha product, two stat products (s2), and the two masked copies for
+    dWres."""
     x_ref, dz_ref = refs[0], refs[1]
     w_refs = refs[2 : 2 + N_LAYER_OPS * n_layers]
     wp_ref = refs[2 + N_LAYER_OPS * n_layers]
@@ -403,24 +456,21 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            a.astype(dtype), bmat.astype(dtype), (((1,), (0,)), ((), ())),
+            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dot0(a, bmat):  # contract dim 0 x dim 0 (lhsT form)
         return jax.lax.dot_general(
-            a.astype(dtype), bmat.astype(dtype), (((0,), (0,)), ((), ())),
+            _dop(a, dtype), _dop(bmat, dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dotg(w, a3):  # 'jc,cbn->jbn'
         return jax.lax.dot_general(
-            w.astype(dtype), a3.astype(dtype), (((1,), (0,)), ((), ())),
+            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    def colsum(a3):  # single-axis reduces only (Mosaic constraint)
-        return jnp.sum(jnp.sum(a3, axis=2), axis=1).reshape(-1, 1)
 
     def bcast(v):  # [C, 1] -> [C, 1, 1] broadcastable over (bb, N)
         return v[:, None, :]
@@ -459,6 +509,7 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))  # [C_h,bb,N]
     dy_pad = jnp.zeros((c_h, 1), jnp.float32)  # wp pad rows are zero
 
+    cols = bb * N_PAD
     # ---- layer backward sweep (recompute per-layer internals from x_in)
     for l in reversed(range(n_layers)):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
@@ -469,68 +520,76 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
         c_in = x3.shape[0]
         _y, _kp, (
             g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
-            scale_t, shift_t, scale_r, shift_r, pre_pad, _sums,
+            scale_t, shift_t, scale_r, shift_r, pre3, pre_pad, _sums,
         ) = _layer_fwd(x3, kpads[l], lrefs, bb, n_valid, res_identity[l],
                        dtype)
+        t_sum, _t_sumsq, r_sum, _r_sumsq = _sums
 
-        # PReLU backward: pre3 recomputed inline (fused by Mosaic with the
-        # consumers below); pad positions carry per-channel constants.
-        pre3 = (
-            t3 * bcast(scale_t) + bcast(shift_t)
-            + r3 * bcast(scale_r) + bcast(shift_r)
-        )
+        # PReLU backward (pre3 comes from the recomputed internals)
         neg = pre3 < 0
-        dyf = dy.astype(jnp.float32)
-        dpre = jnp.where(neg, alpha[0, 0] * dyf, dyf)
+        alpha_d = alpha[0, 0].astype(dtype)
+        dpre = jnp.where(neg, alpha_d * dy, dy).astype(dtype)
         neg_pad = pre_pad < 0
         dpre_pad = jnp.where(neg_pad, alpha[0, 0] * dy_pad, dy_pad)
-        dalpha_all = colsum(jnp.where(neg, dyf * pre3, 0.0))
+        dalpha_all = _colprod32(jnp.where(neg, dy, 0).astype(dtype), pre3)
         dalpha_pad = jnp.where(neg_pad, dy_pad * pre_pad, 0.0)
         dalpha = jnp.sum(dalpha_all - npad_cnt * dalpha_pad).reshape(1, 1)
         accum(out_refs[N_LAYER_OPS * l + 9], dalpha)
 
-        def bn_branch(pre_raw3, pad_raw, mean, inv_std, gam):
-            """Valid-only BN backward via analytic corrections. Returns
-            (d_raw3 [C,bb,N] fp32 incl. constant pad values, d_pad [C,1],
-            dgamma, dbeta)."""
-            s1 = colsum(dpre) - npad_cnt * dpre_pad
-            s2 = colsum(dpre * pre_raw3) - npad_cnt * (dpre_pad * pad_raw)
+        # shared across both BN branches
+        s1 = _colsum32(dpre) - npad_cnt * dpre_pad
+
+        def bn_consts(pre_raw3, pad_raw, mean, inv_std, gam):
+            """Per-channel affine constants of the ghost-BN backward:
+            d_raw = a*dpre + b*pre_raw + c. Also returns (dgamma, dbeta)."""
+            s2 = _colprod32(dpre, pre_raw3) - npad_cnt * (dpre_pad * pad_raw)
             dbeta_ = s1
             dgamma_ = inv_std * (s2 - mean * s1)
             a_c = gam * inv_std
             b_c = -a_c * inv_std * (dgamma_ / cnt)
             c_c = -a_c * (s1 / cnt) - b_c * mean
-            d3 = dpre * bcast(a_c) + pre_raw3 * bcast(b_c) + bcast(c_c)
-            d_pad = dpre_pad * a_c + pad_raw * b_c + c_c
-            return d3, d_pad, dgamma_, dbeta_
+            return a_c, b_c, c_c, dgamma_, dbeta_
 
-        # tcn branch: BN -> dense -> graph
-        dt3, dt_pad, dgamma, dbeta = bn_branch(
+        # ---- tcn branch: BN -> dense -> graph (affine folded)
+        a_t, b_t, c_t, dgamma, dbeta = bn_consts(
             t3, b[:], t_mean, t_inv_std, gamma[:]
         )
         accum(out_refs[N_LAYER_OPS * l + 3], dgamma)
         accum(out_refs[N_LAYER_OPS * l + 4], dbeta)
-        accum(out_refs[N_LAYER_OPS * l + 2], colsum(dt3) - npad_cnt * dt_pad)
-        dt3 = dt3.astype(dtype)
-        # dW: pad columns of g3 are exactly zero, so no masking is needed
-        cols = bb * N_PAD
-        accum(
-            out_refs[N_LAYER_OPS * l + 1],
-            dot(dt3.reshape(-1, cols),
-                dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))),
-        )  # dwt [C_out, C_in] via MXU transpose of g
-        dg3 = dotg(wt[:].T, dt3).astype(dtype)  # [C_in, bb, N]
+        # db = sum_valid(d_t3) = a*s1 + b*t_sum + c*cnt — no array pass
+        accum(out_refs[N_LAYER_OPS * l + 2],
+              a_t * s1 + b_t * t_sum + c_t * cnt)
+        # dwt = a*(dpre@g3T) + b*(t3@g3T) + c (x) colsum(g3): g3's pad
+        # columns are exactly zero, so full-array reductions need no mask
+        g3t = dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
+        g3sum = _colsum32(g3)  # [c_in, 1]
+        dwt = (
+            a_t * dot(dpre.reshape(-1, cols), g3t)
+            + b_t * dot(t3.reshape(-1, cols), g3t)
+            + c_t * g3sum.reshape(1, -1)
+        )
+        accum(out_refs[N_LAYER_OPS * l + 1], dwt)
+        # dg3 = (wt*a)^T @ dpre + (wt*b)^T @ t3 + wt^T @ c
+        wt32 = wt[:].astype(jnp.float32)
+        dg3 = (
+            dotg((wt32 * a_t).T, dpre) + dotg((wt32 * b_t).T, t3)
+            + bcast(jnp.matmul(wt32.T, c_t))
+        ).astype(dtype)
         dgr = dg3.reshape(c_in * bb, N_PAD)
         accum(
             out_refs[N_LAYER_OPS * l + 0],
             dot0(x3.reshape(c_in * bb, N_PAD), dgr),
         )  # dm [N, N] (pad rows/cols sliced by the wrapper)
         dx3 = dot(dgr, m[:].T).astype(dtype).reshape(c_in, bb, N_PAD)
-        dx_pad = jnp.zeros((c_in, 1), jnp.float32)  # m pad rows are zero
+        # dg3's pad columns: g3 pads are zero, so d_t3 pads = a*dpre_pad +
+        # b*t_pad + c feed wt^T; the graph backward then zeroes them again
+        # (m pad rows are zero) — dx3 pad constant comes from the residual
+        # branch only.
+        dx_pad = jnp.zeros((c_in, 1), jnp.float32)
 
-        # residual branch
+        # ---- residual branch
         if res_identity[l]:
-            dx3 = dx3 + dpre.astype(dtype)
+            dx3 = dx3 + dpre
             dx_pad = dx_pad + dpre_pad
             c_out = wt.shape[0]
             for k, shape in ((5, (c_out, c_in)), (6, (c_out, 1)),
@@ -538,30 +597,38 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
                 accum(out_refs[N_LAYER_OPS * l + k],
                       jnp.zeros(shape, jnp.float32))
         else:
-            dr3, dr_pad, dgamma_r, dbeta_r = bn_branch(
+            a_r, b_r, c_r, dgamma_r, dbeta_r = bn_consts(
                 r3, r_pad, r_mean, r_inv_std, gamma_res[:]
             )
             accum(out_refs[N_LAYER_OPS * l + 7], dgamma_r)
             accum(out_refs[N_LAYER_OPS * l + 8], dbeta_r)
             accum(out_refs[N_LAYER_OPS * l + 6],
-                  colsum(dr3) - npad_cnt * dr_pad)
+                  a_r * s1 + b_r * r_sum + c_r * cnt)
             # dWres: x3's pad columns are NOT zero (per-channel constants),
             # and subtracting their analytic contribution cancels
-            # catastrophically in fp32 — zero dr3's pad columns instead
-            # (the only masking pass in the whole backward).
+            # catastrophically in fp32 — mask the two folded operands
+            # instead (the only masking passes in the whole backward).
             nmask = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, N_PAD), 2
             ) < n_valid
-            dr3 = dr3.astype(dtype)
-            dr3m = jnp.where(nmask, dr3, 0.0)
-            dwres = dot(
-                dr3m.reshape(-1, cols),
-                dot0(x3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32)),
+            x3t = dot0(x3.reshape(c_in, cols),
+                       jnp.eye(c_in, dtype=jnp.float32))
+            x3vsum = _colsum32(x3) - npad_cnt * kpads[l]  # valid-only
+            dwres = (
+                a_r * dot(jnp.where(nmask, dpre, 0).reshape(-1, cols), x3t)
+                + b_r * dot(jnp.where(nmask, r3, 0).reshape(-1, cols), x3t)
+                + c_r * x3vsum.reshape(1, -1)
             )
             accum(out_refs[N_LAYER_OPS * l + 5], dwres)
-            # dx keeps the UNMASKED dr3 so the array's pad columns stay equal
-            # to the analytic dx_pad constants the corrections rely on
-            dx3 = dx3 + dotg(wt_res[:].T, dr3).astype(dtype)
+            # dx += Wres^T @ d_r3, folded with UNMASKED dpre/r3 so the
+            # array's pad columns stay equal to the analytic dx_pad
+            # constants the corrections rely on
+            wr32 = wt_res[:].astype(jnp.float32)
+            dx3 = dx3 + (
+                dotg((wr32 * a_r).T, dpre) + dotg((wr32 * b_r).T, r3)
+                + bcast(jnp.matmul(wr32.T, c_r))
+            ).astype(dtype)
+            dr_pad = a_r * dpre_pad + b_r * r_pad + c_r
             dx_pad = dx_pad + dot(wt_res[:].T, dr_pad)
         dy = dx3
         dy_pad = dx_pad
@@ -606,6 +673,8 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
             out_shapes.append(jax.ShapeDtypeStruct((c_out, 1), jnp.float32))
             out_specs.append(_full_spec((c_out, 1)))
 
+    global _INTERPRET_DOTS_WIDEN
+    _INTERPRET_DOTS_WIDEN = bool(interpret)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers, bb, n_valid, res_identity,
                           jnp.dtype(dtype)),
@@ -651,6 +720,8 @@ def _bwd_pallas(x_t, dz, ops: EncoderOps, n_valid, ghost_size, res_identity,
         out_specs.append(_full_spec(a.shape))
 
     latent = ops.wp.shape[1]
+    global _INTERPRET_DOTS_WIDEN
+    _INTERPRET_DOTS_WIDEN = bool(interpret)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_layers, bb, n_valid, res_identity,
                           jnp.dtype(dtype)),

@@ -193,3 +193,39 @@ def test_fused_identity_residual_layer():
                     jax.tree_util.tree_leaves(g_k)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_fused_bf16_path_close_to_fp32(rng):
+    """compute_dtype='bfloat16' stores the big intermediates in bf16 with
+    fp32 stat accumulation (v3 layout): forward within bf16 tolerance of
+    the fp32 reference, grads finite and directionally consistent."""
+    _, params, bs, x = make_model()
+    z_ref, _ = K.ghost_encode_reference(params, x, ghost_size=16)
+    z_k, _ = K.fused_stse_apply(params, bs, x, ghost_size=16, interpret=True,
+                                compute_dtype="bfloat16")
+    scale = float(jnp.abs(z_ref).max())
+    assert float(jnp.abs(z_k - z_ref).max()) < 5e-2 * max(scale, 1.0)
+
+    center = jnp.asarray(np.random.RandomState(1).randn(16), jnp.float32)
+
+    def loss_k(p):
+        z, _ = K.fused_stse_apply(p, bs, x, ghost_size=16, interpret=True,
+                                  compute_dtype="bfloat16")
+        return jnp.mean((z - center) ** 2)
+
+    def loss_ref(p):
+        z, _ = K.ghost_encode_reference(p, x, ghost_size=16)
+        return jnp.mean((z - center) ** 2)
+
+    g_k = jax.grad(loss_k)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    # cosine similarity per leaf: bf16 grads must point the same way
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                            jax.tree_util.tree_leaves(g_k)):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        assert np.all(np.isfinite(b)), jax.tree_util.keystr(path)
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom > 1e-10:
+            cos = float(a @ b / denom)
+            assert cos > 0.98, (jax.tree_util.keystr(path), cos)
