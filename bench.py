@@ -38,7 +38,39 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_tpu() -> float:
+def _bench_dataset(pipeline: str):
+    """Synthetic HR-Avenue-scale data for either pipeline kind."""
+    rng = np.random.default_rng(0)
+    if pipeline == "windows":
+        from coskad_tpu.data.windows import SegmentDataset
+
+        return SegmentDataset(
+            data=rng.normal(size=(N_WINDOWS, 3, T, V)).astype(np.float32),
+            meta=np.tile([1, 1, 1, 1], (N_WINDOWS, 1)).astype(np.int64),
+            frame_ids=np.tile(np.arange(1, T + 1), (N_WINDOWS, 1)).astype(
+                np.int32),
+            num_transform=5,
+        )
+    # device store: whole trajectories HBM-resident, windowing +
+    # normalization + transforms fused into the jitted step
+    from coskad_tpu.data.device_pipeline import build_store
+    from coskad_tpu.data.windows import PersonTrajectory
+
+    n_persons, clip_t = 100, T + N_WINDOWS // 100  # stride-1 windows
+    trajs = [
+        PersonTrajectory(
+            person_id=p,
+            frame_keys=list(range(1, clip_t + 1)),
+            keypoints=rng.uniform(40, 400, size=(clip_t, V, 3)).astype(
+                np.float32),
+        )
+        for p in range(n_persons)
+    ]
+    return build_store([(1, 1, trajs)], seg_len=T, num_transform=5)
+
+
+def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
+                fused_train: str = "off") -> dict:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -47,12 +79,12 @@ def measure_tpu() -> float:
 
     from coskad_tpu.config import (Config, DataConfig, ModelConfig, OptConfig,
                                    RunConfig)
-    from coskad_tpu.data.windows import SegmentDataset
     from coskad_tpu.parallel import batch_sharding, create_mesh
     from coskad_tpu.train.loop import Trainer
 
     n_chips = jax.device_count()
-    log(f"[bench] devices: {jax.devices()}")
+    log(f"[bench] {pipeline}/{dtype} fused={fused_train} "
+        f"devices: {jax.devices()}")
     cfg = Config(
         model=ModelConfig(variant="euclidean_static", channels=CHANNELS,
                           h_dim=H_DIM, latent_dim=LATENT),
@@ -63,15 +95,9 @@ def measure_tpu() -> float:
         # recommended TPU training precision. AUC-neutral on the reference
         # head-to-head (0.9922 bf16 vs 0.9920 fp32 vs 0.9937 torch ref —
         # RESULTS.md), +15% train throughput.
-        run=RunConfig(compute_dtype="bfloat16"),
+        run=RunConfig(compute_dtype=dtype, fused_train=fused_train),
     )
-    rng = np.random.default_rng(0)
-    ds = SegmentDataset(
-        data=rng.normal(size=(N_WINDOWS, 3, T, V)).astype(np.float32),
-        meta=np.tile([1, 1, 1, 1], (N_WINDOWS, 1)).astype(np.int64),
-        frame_ids=np.tile(np.arange(1, T + 1), (N_WINDOWS, 1)).astype(np.int32),
-        num_transform=5,
-    )
+    ds = _bench_dataset(pipeline)
     mesh = create_mesh()
     trainer = Trainer(cfg, ds, mesh=mesh)
     # NOTE: any state field replaced here must carry the mesh sharding, or
@@ -123,7 +149,14 @@ def measure_tpu() -> float:
     combined = 1.0 / (1.0 / train_wps + 1.0 / score_wps)
     log(f"[bench] train: {train_wps:,.0f} w/s  score: {score_wps:,.0f} w/s  "
         f"combined: {combined:,.0f} w/s  chips: {n_chips}")
-    return combined / n_chips
+    return {
+        "combined_wps_per_chip": round(combined / n_chips, 1),
+        "train_wps": round(train_wps, 1),
+        "score_wps": round(score_wps, 1),
+        "train_ms_per_step": round(1e3 * train_time / TRAIN_STEPS_TIMED, 3),
+        "score_ms_per_batch": round(1e3 * score_time / k_score, 3),
+        "chips": n_chips,
+    }
 
 
 def measure_cpu_baseline() -> float:
@@ -189,7 +222,32 @@ def measure_cpu_baseline() -> float:
 
 
 def main():
-    value = measure_tpu()
+    # Headline: the fused device pipeline (TrajectoryStore — the BASELINE
+    # north star, whole trajectories HBM-resident with windowing +
+    # normalization + transforms in-jit) at bf16. Measured faster than
+    # materialized windows since the combined-graph/moment-BN work landed
+    # (258k vs 213k train w/s) and CLI-reachable via `device_pipeline:
+    # true`; eval AUC equality across the two pipelines is asserted by
+    # tests/test_cli_e2e.py::test_cli_device_pipeline_matches_windows_pipeline.
+    # Secondary configs: materialized windows at bf16, and fp32.
+    configs = [
+        ("store", "bfloat16"),
+        ("windows", "bfloat16"),
+        ("windows", "float32"),
+    ]
+    if len(sys.argv) > 1:  # bench.py windows bfloat16 — one config only
+        configs = [(sys.argv[1], sys.argv[2] if len(sys.argv) > 2
+                    else "bfloat16")]
+    details = {}
+    for pipeline, dtype in configs:
+        try:
+            details[f"{pipeline}_{dtype}"] = measure_tpu(pipeline, dtype)
+        except Exception as e:
+            log(f"[bench] {pipeline}/{dtype} failed: {e}")
+            if not details:
+                raise  # headline config must succeed
+    value = details[f"{configs[0][0]}_{configs[0][1]}"][
+        "combined_wps_per_chip"]
     try:
         baseline = measure_cpu_baseline()
     except Exception as e:  # torch missing or measurement failure
@@ -198,9 +256,10 @@ def main():
     vs = round(value / baseline, 2) if baseline else None
     print(json.dumps({
         "metric": "pose_windows_per_sec_per_chip",
-        "value": round(value, 1),
+        "value": value,
         "unit": "windows/sec/chip",
         "vs_baseline": vs,
+        "detail": details,
     }))
 
 
