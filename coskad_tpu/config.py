@@ -328,5 +328,7 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         data_parallel=get("data_parallel", -1),
         model_parallel=get("model_parallel", 1),
         device_pipeline=get("device_pipeline", False),
+        fused_train=get("fused_train", "off"),
+        ghost_size=get("ghost_size", 64),
     )
     return Config(model=model, data=data, opt=opt, eval=ev, run=run)

@@ -126,3 +126,23 @@ def test_no_silently_ignored_opt_config_fields():
     blob = "\n".join(sources)
     for f in dataclasses.fields(OptConfig):
         assert f.name in blob, f"OptConfig.{f.name} is parsed but never consumed"
+
+
+def test_fused_train_knobs_parse_from_yaml(tmp_path):
+    """fused_train / ghost_size YAML keys reach RunConfig (they gate the
+    fused ghost-BN kernel, kernels/stse_train.py)."""
+    import yaml
+
+    from coskad_tpu.config import from_reference_yaml
+
+    raw = {"exp_dir": str(tmp_path), "dataset_choice": "UBnormal",
+           "fused_train": "auto", "ghost_size": 128}
+    p = tmp_path / "c.yaml"
+    yaml.safe_dump(raw, open(p, "w"))
+    cfg = from_reference_yaml(str(p))
+    assert cfg.run.fused_train == "auto" and cfg.run.ghost_size == 128
+    # defaults when absent
+    yaml.safe_dump({"exp_dir": str(tmp_path), "dataset_choice": "UBnormal"},
+                   open(p, "w"))
+    cfg = from_reference_yaml(str(p))
+    assert cfg.run.fused_train == "off" and cfg.run.ghost_size == 64
