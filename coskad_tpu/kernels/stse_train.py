@@ -384,15 +384,19 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
     )
 
 
-def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
+def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
+                *refs):
     """refs = x_ref, (10 per layer), wp, bp, then outputs:
-    z_ref, (t_sum, t_sumsq, r_sum, r_sumsq) per layer."""
+    z_ref, (t_sum, t_sumsq, r_sum, r_sumsq) per layer; with save_acts also
+    each layer's output activation block [C_out, bb, N] and post-layer
+    pad-constant [C_out, 1] (residuals for the split backward)."""
     x_ref = refs[0]
     w_refs = refs[1 : 1 + N_LAYER_OPS * n_layers]
     wp_ref, bp_ref = refs[1 + N_LAYER_OPS * n_layers : 3 + N_LAYER_OPS * n_layers]
     out_refs = refs[3 + N_LAYER_OPS * n_layers :]
     z_ref = out_refs[0]
-    stat_refs = out_refs[1:]
+    stat_refs = out_refs[1 : 1 + 4 * n_layers]
+    act_refs = out_refs[1 + 4 * n_layers :] if save_acts else ()
 
     i = pl.program_id(0)
     c_in = x_ref.shape[0]
@@ -403,6 +407,9 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
         x3, kpad, internals = _layer_fwd(
             x3, kpad, lrefs, bb, n_valid, res_identity[l], dtype
         )
+        if save_acts:
+            act_refs[l][:] = x3
+            act_refs[n_layers + l][:] = kpad
         sums = internals[-1]
         for k in range(4):
             ref = stat_refs[4 * l + k]
@@ -509,129 +516,219 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))  # [C_h,bb,N]
     dy_pad = jnp.zeros((c_h, 1), jnp.float32)  # wp pad rows are zero
 
-    cols = bb * N_PAD
     # ---- layer backward sweep (recompute per-layer internals from x_in)
     for l in reversed(range(n_layers)):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
-        (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = (
-            lrefs
+        out10 = out_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
+        dy, dy_pad = _layer_bwd_body(
+            lrefs, x_in[l], kpads[l], dy, dy_pad, out10, accum,
+            bb, n_valid, res_identity[l], dtype,
         )
-        x3 = x_in[l]
-        c_in = x3.shape[0]
-        _y, _kp, (
-            g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
-            scale_t, shift_t, scale_r, shift_r, pre3, pre_pad, _sums,
-        ) = _layer_fwd(x3, kpads[l], lrefs, bb, n_valid, res_identity[l],
-                       dtype)
-        t_sum, _t_sumsq, r_sum, _r_sumsq = _sums
 
-        # PReLU backward (pre3 comes from the recomputed internals)
-        neg = pre3 < 0
-        alpha_d = alpha[0, 0].astype(dtype)
-        dpre = jnp.where(neg, alpha_d * dy, dy).astype(dtype)
-        neg_pad = pre_pad < 0
-        dpre_pad = jnp.where(neg_pad, alpha[0, 0] * dy_pad, dy_pad)
-        dalpha_all = _colprod32(jnp.where(neg, dy, 0).astype(dtype), pre3)
-        dalpha_pad = jnp.where(neg_pad, dy_pad * pre_pad, 0.0)
-        dalpha = jnp.sum(dalpha_all - npad_cnt * dalpha_pad).reshape(1, 1)
-        accum(out_refs[N_LAYER_OPS * l + 9], dalpha)
 
-        # shared across both BN branches
-        s1 = _colsum32(dpre) - npad_cnt * dpre_pad
+def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
+                    bb, n_valid, res_id, dtype):
+    """One ST-GCNN layer's backward: recompute internals from the layer
+    input, fold the BN-backward affine into the consumers (see _bwd_kernel
+    docstring), accumulate the 10 weight grads into out10, and return
+    (dx3, dx_pad) for the layer below. Shared by the mono backward kernel
+    and the per-layer split kernels."""
+    (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = lrefs
+    cnt = bb * n_valid
+    npad_cnt = float(bb * (N_PAD - n_valid))
+    cols = bb * N_PAD
+    c_in = x3.shape[0]
 
-        def bn_consts(pre_raw3, pad_raw, mean, inv_std, gam):
-            """Per-channel affine constants of the ghost-BN backward:
-            d_raw = a*dpre + b*pre_raw + c. Also returns (dgamma, dbeta)."""
-            s2 = _colprod32(dpre, pre_raw3) - npad_cnt * (dpre_pad * pad_raw)
-            dbeta_ = s1
-            dgamma_ = inv_std * (s2 - mean * s1)
-            a_c = gam * inv_std
-            b_c = -a_c * inv_std * (dgamma_ / cnt)
-            c_c = -a_c * (s1 / cnt) - b_c * mean
-            return a_c, b_c, c_c, dgamma_, dbeta_
-
-        # ---- tcn branch: BN -> dense -> graph (affine folded)
-        a_t, b_t, c_t, dgamma, dbeta = bn_consts(
-            t3, b[:], t_mean, t_inv_std, gamma[:]
+    def dot(a, bmat):
+        return jax.lax.dot_general(
+            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        accum(out_refs[N_LAYER_OPS * l + 3], dgamma)
-        accum(out_refs[N_LAYER_OPS * l + 4], dbeta)
-        # db = sum_valid(d_t3) = a*s1 + b*t_sum + c*cnt — no array pass
-        accum(out_refs[N_LAYER_OPS * l + 2],
-              a_t * s1 + b_t * t_sum + c_t * cnt)
-        # dwt = a*(dpre@g3T) + b*(t3@g3T) + c (x) colsum(g3): g3's pad
-        # columns are exactly zero, so full-array reductions need no mask
-        g3t = dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
-        g3sum = _colsum32(g3)  # [c_in, 1]
-        dwt = (
-            a_t * dot(dpre.reshape(-1, cols), g3t)
-            + b_t * dot(t3.reshape(-1, cols), g3t)
-            + c_t * g3sum.reshape(1, -1)
+
+    def dot0(a, bmat):  # contract dim 0 x dim 0 (lhsT form)
+        return jax.lax.dot_general(
+            _dop(a, dtype), _dop(bmat, dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        accum(out_refs[N_LAYER_OPS * l + 1], dwt)
-        # dg3 = (wt*a)^T @ dpre + (wt*b)^T @ t3 + wt^T @ c
-        wt32 = wt[:].astype(jnp.float32)
-        dg3 = (
-            dotg((wt32 * a_t).T, dpre) + dotg((wt32 * b_t).T, t3)
-            + bcast(jnp.matmul(wt32.T, c_t))
+
+    def dotg(w, a3):  # 'jc,cbn->jbn'
+        return jax.lax.dot_general(
+            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def bcast(v):
+        return v[:, None, :]
+
+    _y, _kp, (
+        g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
+        scale_t, shift_t, scale_r, shift_r, pre3, pre_pad, _sums,
+    ) = _layer_fwd(x3, kpad_l, lrefs, bb, n_valid, res_id, dtype)
+    t_sum, _t_sumsq, r_sum, _r_sumsq = _sums
+
+    # PReLU backward (pre3 comes from the recomputed internals)
+    neg = pre3 < 0
+    alpha_d = alpha[0, 0].astype(dtype)
+    dpre = jnp.where(neg, alpha_d * dy, dy).astype(dtype)
+    neg_pad = pre_pad < 0
+    dpre_pad = jnp.where(neg_pad, alpha[0, 0] * dy_pad, dy_pad)
+    dalpha_all = _colprod32(jnp.where(neg, dy, 0).astype(dtype), pre3)
+    dalpha_pad = jnp.where(neg_pad, dy_pad * pre_pad, 0.0)
+    dalpha = jnp.sum(dalpha_all - npad_cnt * dalpha_pad).reshape(1, 1)
+    accum(out10[9], dalpha)
+
+    # shared across both BN branches
+    s1 = _colsum32(dpre) - npad_cnt * dpre_pad
+
+    def bn_consts(pre_raw3, pad_raw, mean, inv_std, gam):
+        """Per-channel affine constants of the ghost-BN backward:
+        d_raw = a*dpre + b*pre_raw + c. Also returns (dgamma, dbeta)."""
+        s2 = _colprod32(dpre, pre_raw3) - npad_cnt * (dpre_pad * pad_raw)
+        dbeta_ = s1
+        dgamma_ = inv_std * (s2 - mean * s1)
+        a_c = gam * inv_std
+        b_c = -a_c * inv_std * (dgamma_ / cnt)
+        c_c = -a_c * (s1 / cnt) - b_c * mean
+        return a_c, b_c, c_c, dgamma_, dbeta_
+
+    # ---- tcn branch: BN -> dense -> graph (affine folded)
+    a_t, b_t, c_t, dgamma, dbeta = bn_consts(
+        t3, b[:], t_mean, t_inv_std, gamma[:]
+    )
+    accum(out10[3], dgamma)
+    accum(out10[4], dbeta)
+    # db = sum_valid(d_t3) = a*s1 + b*t_sum + c*cnt — no array pass
+    accum(out10[2], a_t * s1 + b_t * t_sum + c_t * cnt)
+    # dwt = a*(dpre@g3T) + b*(t3@g3T) + c (x) colsum(g3): g3's pad
+    # columns are exactly zero, so full-array reductions need no mask
+    g3t = dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
+    g3sum = _colsum32(g3)  # [c_in, 1]
+    dwt = (
+        a_t * dot(dpre.reshape(-1, cols), g3t)
+        + b_t * dot(t3.reshape(-1, cols), g3t)
+        + c_t * g3sum.reshape(1, -1)
+    )
+    accum(out10[1], dwt)
+    # dg3 = (wt*a)^T @ dpre + (wt*b)^T @ t3 + wt^T @ c
+    wt32 = wt[:].astype(jnp.float32)
+    dg3 = (
+        dotg((wt32 * a_t).T, dpre) + dotg((wt32 * b_t).T, t3)
+        + bcast(jnp.matmul(wt32.T, c_t))
+    ).astype(dtype)
+    dgr = dg3.reshape(c_in * bb, N_PAD)
+    accum(out10[0], dot0(x3.reshape(c_in * bb, N_PAD), dgr))
+    # ^ dm [N, N] (pad rows/cols sliced by the wrapper)
+    dx3 = dot(dgr, m[:].T).astype(dtype).reshape(c_in, bb, N_PAD)
+    # dg3's pad columns: g3 pads are zero, so d_t3 pads = a*dpre_pad +
+    # b*t_pad + c feed wt^T; the graph backward then zeroes them again
+    # (m pad rows are zero) — dx3 pad constant comes from the residual
+    # branch only.
+    dx_pad = jnp.zeros((c_in, 1), jnp.float32)
+
+    # ---- residual branch
+    if res_id:
+        dx3 = dx3 + dpre
+        dx_pad = dx_pad + dpre_pad
+        c_out = wt.shape[0]
+        for k, shape in ((5, (c_out, c_in)), (6, (c_out, 1)),
+                         (7, (c_out, 1)), (8, (c_out, 1))):
+            accum(out10[k], jnp.zeros(shape, jnp.float32))
+    else:
+        a_r, b_r, c_r, dgamma_r, dbeta_r = bn_consts(
+            r3, r_pad, r_mean, r_inv_std, gamma_res[:]
+        )
+        accum(out10[7], dgamma_r)
+        accum(out10[8], dbeta_r)
+        accum(out10[6], a_r * s1 + b_r * r_sum + c_r * cnt)
+        # dWres: x3's pad columns are NOT zero (per-channel constants),
+        # and subtracting their analytic contribution cancels
+        # catastrophically in fp32 — mask the two folded operands
+        # instead (the only masking passes in the whole backward).
+        nmask = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, N_PAD), 2
+        ) < n_valid
+        x3t = dot0(x3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
+        x3vsum = _colsum32(x3) - npad_cnt * kpad_l  # valid-only
+        dwres = (
+            a_r * dot(jnp.where(nmask, dpre, 0).reshape(-1, cols), x3t)
+            + b_r * dot(jnp.where(nmask, r3, 0).reshape(-1, cols), x3t)
+            + c_r * x3vsum.reshape(1, -1)
+        )
+        accum(out10[5], dwres)
+        # dx += Wres^T @ d_r3, folded with UNMASKED dpre/r3 so the
+        # array's pad columns stay equal to the analytic dx_pad
+        # constants the corrections rely on
+        wr32 = wt_res[:].astype(jnp.float32)
+        dx3 = dx3 + (
+            dotg((wr32 * a_r).T, dpre) + dotg((wr32 * b_r).T, r3)
+            + bcast(jnp.matmul(wr32.T, c_r))
         ).astype(dtype)
-        dgr = dg3.reshape(c_in * bb, N_PAD)
-        accum(
-            out_refs[N_LAYER_OPS * l + 0],
-            dot0(x3.reshape(c_in * bb, N_PAD), dgr),
-        )  # dm [N, N] (pad rows/cols sliced by the wrapper)
-        dx3 = dot(dgr, m[:].T).astype(dtype).reshape(c_in, bb, N_PAD)
-        # dg3's pad columns: g3 pads are zero, so d_t3 pads = a*dpre_pad +
-        # b*t_pad + c feed wt^T; the graph backward then zeroes them again
-        # (m pad rows are zero) — dx3 pad constant comes from the residual
-        # branch only.
-        dx_pad = jnp.zeros((c_in, 1), jnp.float32)
+        dr_pad = a_r * dpre_pad + b_r * r_pad + c_r
+        dx_pad = dx_pad + dot(wt_res[:].T, dr_pad)
+    return dx3, dx_pad
 
-        # ---- residual branch
-        if res_identity[l]:
-            dx3 = dx3 + dpre
-            dx_pad = dx_pad + dpre_pad
-            c_out = wt.shape[0]
-            for k, shape in ((5, (c_out, c_in)), (6, (c_out, 1)),
-                             (7, (c_out, 1)), (8, (c_out, 1))):
-                accum(out_refs[N_LAYER_OPS * l + k],
-                      jnp.zeros(shape, jnp.float32))
-        else:
-            a_r, b_r, c_r, dgamma_r, dbeta_r = bn_consts(
-                r3, r_pad, r_mean, r_inv_std, gamma_res[:]
-            )
-            accum(out_refs[N_LAYER_OPS * l + 7], dgamma_r)
-            accum(out_refs[N_LAYER_OPS * l + 8], dbeta_r)
-            accum(out_refs[N_LAYER_OPS * l + 6],
-                  a_r * s1 + b_r * r_sum + c_r * cnt)
-            # dWres: x3's pad columns are NOT zero (per-channel constants),
-            # and subtracting their analytic contribution cancels
-            # catastrophically in fp32 — mask the two folded operands
-            # instead (the only masking passes in the whole backward).
-            nmask = jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, N_PAD), 2
-            ) < n_valid
-            x3t = dot0(x3.reshape(c_in, cols),
-                       jnp.eye(c_in, dtype=jnp.float32))
-            x3vsum = _colsum32(x3) - npad_cnt * kpads[l]  # valid-only
-            dwres = (
-                a_r * dot(jnp.where(nmask, dpre, 0).reshape(-1, cols), x3t)
-                + b_r * dot(jnp.where(nmask, r3, 0).reshape(-1, cols), x3t)
-                + c_r * x3vsum.reshape(1, -1)
-            )
-            accum(out_refs[N_LAYER_OPS * l + 5], dwres)
-            # dx += Wres^T @ d_r3, folded with UNMASKED dpre/r3 so the
-            # array's pad columns stay equal to the analytic dx_pad
-            # constants the corrections rely on
-            wr32 = wt_res[:].astype(jnp.float32)
-            dx3 = dx3 + (
-                dotg((wr32 * a_r).T, dpre) + dotg((wr32 * b_r).T, r3)
-                + bcast(jnp.matmul(wr32.T, c_r))
-            ).astype(dtype)
-            dr_pad = a_r * dpre_pad + b_r * r_pad + c_r
-            dx_pad = dx_pad + dot(wt_res[:].T, dr_pad)
-        dy = dx3
-        dy_pad = dx_pad
+
+def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
+                     dwp_ref, dbp_ref, dy_ref):
+    """Projector backward as its own kernel (split mode): consumes the
+    saved final activation block and dz, accumulates dwp/dbp across the
+    grid, writes the dy block for the top ST-GCNN layer."""
+    i = pl.program_id(0)
+    c_h = y4_ref.shape[0]
+    dz = dz_ref[:].astype(jnp.float32)  # [bb, L]
+    hcn = jnp.transpose(y4_ref[:].astype(dtype), (0, 2, 1)).reshape(
+        c_h * N_PAD, bb
+    )
+    dwp = jax.lax.dot_general(
+        _dop(hcn, dtype), _dop(dz, dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        dwp_ref[:] = dwp
+        dbp_ref[:] = jnp.sum(dz, axis=0, keepdims=True)
+
+    @pl.when(i > 0)
+    def _():
+        dwp_ref[:] = dwp_ref[:] + dwp
+        dbp_ref[:] = dbp_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
+
+    dh_cn = jax.lax.dot_general(
+        _dop(wp_ref[:], dtype), _dop(dz.T, dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)  # [C_h*N, bb]
+    dy_ref[:] = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))
+
+
+def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
+    """One layer's backward as its own kernel (split mode). refs =
+    x_ref [C_in, bb, N], dy_ref [C_out, bb, N], dy_pad_ref [C_out, 1],
+    kpad_ref [C_in, 1], 10 weights, then outputs: 10 grads (grid-
+    accumulated), dx_ref [C_in, bb, N], dx_pad_ref [C_in, 1]."""
+    x_ref, dy_ref, dy_pad_ref, kpad_ref = refs[:4]
+    lrefs = refs[4 : 4 + N_LAYER_OPS]
+    out10 = refs[4 + N_LAYER_OPS : 4 + 2 * N_LAYER_OPS]
+    dx_ref, dx_pad_ref = refs[4 + 2 * N_LAYER_OPS :]
+
+    i = pl.program_id(0)
+
+    def accum(ref, val):
+        @pl.when(i == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(i > 0)
+        def _():
+            ref[:] = ref[:] + val
+
+    dx3, dx_pad = _layer_bwd_body(
+        lrefs, x_ref[:].astype(dtype), kpad_ref[:],
+        dy_ref[:].astype(dtype), dy_pad_ref[:], out10, accum,
+        bb, n_valid, res_id, dtype,
+    )
+    dx_ref[:] = dx3
+    dx_pad_ref[:] = dx_pad
 
 
 # --------------------------------------------------------------------------
@@ -653,8 +750,11 @@ def _ops_arrays(ops: EncoderOps):
 
 
 def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
-                interpret, dtype="float32"):
-    """x_t: [C_in, B, N_PAD]. Returns (z [B, L], sums: list of 4-tuples)."""
+                interpret, dtype="float32", save_acts=False):
+    """x_t: [C_in, B, N_PAD]. Returns (z [B, L], sums: list of 4-tuples)
+    and, with save_acts, also (acts: per-layer [C_out, B, N_PAD] outputs,
+    kpads: per-layer [C_out, n_blocks] pad constants) — the residuals the
+    split backward reads instead of rematerializing the whole stack."""
     c_in, b, _ = x_t.shape
     bb = ghost_size
     n_blocks = b // bb
@@ -672,12 +772,26 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
         for _ in range(4):
             out_shapes.append(jax.ShapeDtypeStruct((c_out, 1), jnp.float32))
             out_specs.append(_full_spec((c_out, 1)))
+    if save_acts:
+        for lay in ops.layers:
+            c_out = lay.wt.shape[0]
+            out_shapes.append(
+                jax.ShapeDtypeStruct((c_out, b, N_PAD), jnp.dtype(dtype)))
+            out_specs.append(pl.BlockSpec((c_out, bb, N_PAD),
+                                          lambda i: (0, i, 0),
+                                          memory_space=pltpu.VMEM))
+        for lay in ops.layers:
+            c_out = lay.wt.shape[0]
+            out_shapes.append(
+                jax.ShapeDtypeStruct((c_out, n_blocks), jnp.float32))
+            out_specs.append(pl.BlockSpec((c_out, 1), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
 
     global _INTERPRET_DOTS_WIDEN
     _INTERPRET_DOTS_WIDEN = bool(interpret)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers, bb, n_valid, res_identity,
-                          jnp.dtype(dtype)),
+                          jnp.dtype(dtype), save_acts),
         grid=(n_blocks,),
         out_shape=tuple(out_shapes),
         in_specs=[
@@ -696,7 +810,101 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
     z = outs[0]
     sums = [tuple(outs[1 + 4 * l + k] for k in range(4))
             for l in range(n_layers)]
-    return z, sums
+    if not save_acts:
+        return z, sums
+    acts = outs[1 + 4 * n_layers : 1 + 5 * n_layers]
+    kpads = outs[1 + 5 * n_layers :]
+    return z, sums, acts, kpads
+
+
+def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
+                      ghost_size, res_identity, interpret, dtype="float32"):
+    """Split-mode backward: a projector kernel + one kernel per layer, dy
+    passed between them through HBM. Each Mosaic payload stays small
+    (~11 dots), which the remote compile helper handles where the mono
+    backward (70 dots) gets OOM-killed; the price is the boundary
+    activations/dy round-tripping HBM (~0.5-1 ms at B=2048)."""
+    c_in0, b, _ = x_t.shape
+    bb = ghost_size
+    n_blocks = b // bb
+    n_layers = len(ops.layers)
+    latent = ops.wp.shape[1]
+
+    global _INTERPRET_DOTS_WIDEN
+    _INTERPRET_DOTS_WIDEN = bool(interpret)
+
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    def act_spec(c):
+        return pl.BlockSpec((c, bb, N_PAD), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pad_spec_c(c):
+        return pl.BlockSpec((c, 1), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    c_h = ops.layers[-1].wt.shape[0]
+    dwp, dbp, dy = pl.pallas_call(
+        functools.partial(_proj_bwd_kernel, bb, jnp.dtype(dtype)),
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct(ops.wp.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ops.bp.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c_h, b, N_PAD), jnp.dtype(dtype)),
+        ),
+        in_specs=[
+            act_spec(c_h),
+            pl.BlockSpec((bb, latent), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            _full_spec(ops.wp.shape),
+        ],
+        out_specs=(
+            _full_spec(ops.wp.shape),
+            _full_spec(ops.bp.shape),
+            act_spec(c_h),
+        ),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(acts[-1], dz, ops.wp)
+    dy_pad = jnp.zeros((c_h, n_blocks), jnp.float32)  # wp pad rows are zero
+
+    d_layers = [None] * n_layers
+    for l in reversed(range(n_layers)):
+        lay = ops.layers[l]
+        c_out = lay.wt.shape[0]
+        c_in = lay.wt.shape[1]
+        x_l = x_t if l == 0 else acts[l - 1]
+        kpad_l = (jnp.zeros((c_in, n_blocks), jnp.float32) if l == 0
+                  else kpads[l - 1])
+        w_args = list(lay)
+        out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                      for a in lay]
+        out_specs = [_full_spec(a.shape) for a in lay]
+        out_shapes += [
+            jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.dtype(dtype)),
+            jax.ShapeDtypeStruct((c_in, n_blocks), jnp.float32),
+        ]
+        out_specs += [act_spec(c_in), pad_spec_c(c_in)]
+        outs = pl.pallas_call(
+            functools.partial(_layer_bwd_kernel, bb, n_valid,
+                              res_identity[l], jnp.dtype(dtype)),
+            grid=(n_blocks,),
+            out_shape=tuple(out_shapes),
+            in_specs=[
+                act_spec(c_in),
+                act_spec(c_out),
+                pad_spec_c(c_out),
+                pad_spec_c(c_in),
+                *[_full_spec(a.shape) for a in lay],
+            ],
+            out_specs=tuple(out_specs),
+            compiler_params=cparams,
+            interpret=interpret,
+        )(x_l, dy, dy_pad, kpad_l, *w_args)
+        d_layers[l] = LayerOps(*outs[:N_LAYER_OPS])
+        dy = outs[N_LAYER_OPS]
+        dy_pad = outs[N_LAYER_OPS + 1]
+    return EncoderOps(layers=tuple(d_layers), wp=dwp, bp=dbp)
 
 
 def _bwd_pallas(x_t, dz, ops: EncoderOps, n_valid, ghost_size, res_identity,
@@ -753,12 +961,18 @@ def _bwd_pallas(x_t, dz, ops: EncoderOps, n_valid, ghost_size, res_identity,
                       bp=outs[N_LAYER_OPS * n_layers + 1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def fused_ghost_encode(x_t, ops, n_valid, ghost_size, res_identity,
-                       interpret=False, dtype="float32"):
+                       interpret=False, dtype="float32", bwd_mode="split"):
     """Fused ghost-BN STSE encode. x_t: [C_in, B, N_PAD] (node-padded,
     channel-major); returns (z [B, latent] fp32, per-layer pre-BN sum
     4-tuples for the running-stat update).
+
+    bwd_mode='split' (default) saves the layer-boundary activations and
+    runs one small backward kernel per layer; 'mono' saves nothing and
+    rematerializes the whole stack inside one big backward kernel (less
+    HBM traffic, but a Mosaic payload the remote compile infrastructure
+    chokes on — see _bwd_split_pallas).
 
     NOTE: the VJP returns a ZERO cotangent for x_t — the input is data
     (gathered windows), never a function of trainable parameters. Do not
@@ -767,18 +981,29 @@ def fused_ghost_encode(x_t, ops, n_valid, ghost_size, res_identity,
                        interpret, dtype)
 
 
-def _fge_fwd(x_t, ops, n_valid, ghost_size, res_identity, interpret, dtype):
+def _fge_fwd(x_t, ops, n_valid, ghost_size, res_identity, interpret, dtype,
+             bwd_mode):
+    if bwd_mode == "split":
+        z, sums, acts, kpads = _fwd_pallas(
+            x_t, ops, n_valid, ghost_size, res_identity, interpret, dtype,
+            save_acts=True,
+        )
+        return (z, sums), (x_t, ops, acts, kpads)
     out = _fwd_pallas(x_t, ops, n_valid, ghost_size, res_identity, interpret,
                       dtype)
-    return out, (x_t, ops)
+    return out, (x_t, ops, None, None)
 
 
-def _fge_bwd(n_valid, ghost_size, res_identity, interpret, dtype, residuals,
-             cts):
-    x_t, ops = residuals
+def _fge_bwd(n_valid, ghost_size, res_identity, interpret, dtype, bwd_mode,
+             residuals, cts):
+    x_t, ops, acts, kpads = residuals
     dz, _ = cts  # stat-sum cotangents are structurally zero (non-diff path)
-    d_ops = _bwd_pallas(x_t, dz, ops, n_valid, ghost_size, res_identity,
-                        interpret, dtype)
+    if bwd_mode == "split":
+        d_ops = _bwd_split_pallas(x_t, dz, ops, acts, kpads, n_valid,
+                                  ghost_size, res_identity, interpret, dtype)
+    else:
+        d_ops = _bwd_pallas(x_t, dz, ops, n_valid, ghost_size, res_identity,
+                            interpret, dtype)
     return jnp.zeros_like(x_t), d_ops
 
 
@@ -795,6 +1020,7 @@ def fused_stse_apply(
     impl: str = "pallas",
     axis_name: Optional[str] = None,
     compute_dtype: str = "float32",
+    bwd_mode: str = "split",
 ) -> Tuple[jax.Array, Dict]:
     """Drop-in train-mode STSE encode: [B, C_in, T, V] -> (z, new_batch_stats).
 
@@ -826,7 +1052,7 @@ def fused_stse_apply(
         )
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, N_PAD - n)))
         z, sums = fused_ghost_encode(x_t, ops, n, ghost_size, res_identity,
-                                     interpret, compute_dtype)
+                                     interpret, compute_dtype, bwd_mode)
         cnt = jnp.asarray(b * n, jnp.float32)
         layer_sums = [
             {

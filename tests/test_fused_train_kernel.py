@@ -58,7 +58,8 @@ def test_fused_forward_matches_reference(ghost):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_fused_gradients_match_reference():
+@pytest.mark.parametrize("bwd_mode", ["split", "mono"])
+def test_fused_gradients_match_reference(bwd_mode):
     _, params, bs, x = make_model()
     center = jnp.asarray(np.random.RandomState(1).randn(16), jnp.float32)
 
@@ -67,7 +68,8 @@ def test_fused_gradients_match_reference():
         return jnp.mean((z - center) ** 2)
 
     def loss_k(p):
-        z, _ = K.fused_stse_apply(p, bs, x, ghost_size=16, interpret=True)
+        z, _ = K.fused_stse_apply(p, bs, x, ghost_size=16, interpret=True,
+                                  bwd_mode=bwd_mode)
         return jnp.mean((z - center) ** 2)
 
     l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
@@ -180,7 +182,8 @@ def test_fused_identity_residual_layer():
                                rtol=2e-4, atol=2e-4)
 
     def loss_k(p):
-        z, _ = K.fused_stse_apply(p, bs, x, ghost_size=16, interpret=True)
+        z, _ = K.fused_stse_apply(p, bs, x, ghost_size=16, interpret=True,
+                                  bwd_mode="split")
         return jnp.mean(z ** 2)
 
     def loss_ref(p):
