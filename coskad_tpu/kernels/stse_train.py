@@ -409,7 +409,10 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
         )
         if save_acts:
             act_refs[l][:] = x3
-            act_refs[n_layers + l][:] = kpad
+            # per-block pad constants: row i of a [n_blocks, C] array
+            # (a (C, 1) block over [C, n_blocks] would violate Mosaic's
+            # (8, 128) block-divisibility rule)
+            act_refs[n_layers + l][pl.ds(i, 1), :] = kpad.T
         sums = internals[-1]
         for k in range(4):
             ref = stat_refs[4 * l + k]
@@ -703,9 +706,10 @@ def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
 
 def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
     """One layer's backward as its own kernel (split mode). refs =
-    x_ref [C_in, bb, N], dy_ref [C_out, bb, N], dy_pad_ref [C_out, 1],
-    kpad_ref [C_in, 1], 10 weights, then outputs: 10 grads (grid-
-    accumulated), dx_ref [C_in, bb, N], dx_pad_ref [C_in, 1]."""
+    x_ref [C_in, bb, N], dy_ref [C_out, bb, N], dy_pad_ref [G, C_out],
+    kpad_ref [G, C_in], 10 weights, then outputs: 10 grads (grid-
+    accumulated), dx_ref [C_in, bb, N], dx_pad_ref [G, C_in]. The pad
+    arrays hold one row per grid block (see pad_spec_c)."""
     x_ref, dy_ref, dy_pad_ref, kpad_ref = refs[:4]
     lrefs = refs[4 : 4 + N_LAYER_OPS]
     out10 = refs[4 + N_LAYER_OPS : 4 + 2 * N_LAYER_OPS]
@@ -722,13 +726,15 @@ def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
         def _():
             ref[:] = ref[:] + val
 
+    kpad_l = jnp.transpose(kpad_ref[pl.ds(i, 1), :], (1, 0))  # [C_in, 1]
+    dy_pad = jnp.transpose(dy_pad_ref[pl.ds(i, 1), :], (1, 0))  # [C_out, 1]
     dx3, dx_pad = _layer_bwd_body(
-        lrefs, x_ref[:].astype(dtype), kpad_ref[:],
-        dy_ref[:].astype(dtype), dy_pad_ref[:], out10, accum,
+        lrefs, x_ref[:].astype(dtype), kpad_l,
+        dy_ref[:].astype(dtype), dy_pad, out10, accum,
         bb, n_valid, res_id, dtype,
     )
     dx_ref[:] = dx3
-    dx_pad_ref[:] = dx_pad
+    dx_pad_ref[pl.ds(i, 1), :] = dx_pad.T
 
 
 # --------------------------------------------------------------------------
@@ -783,9 +789,8 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
         for lay in ops.layers:
             c_out = lay.wt.shape[0]
             out_shapes.append(
-                jax.ShapeDtypeStruct((c_out, n_blocks), jnp.float32))
-            out_specs.append(pl.BlockSpec((c_out, 1), lambda i: (0, i),
-                                          memory_space=pltpu.VMEM))
+                jax.ShapeDtypeStruct((n_blocks, c_out), jnp.float32))
+            out_specs.append(_full_spec((n_blocks, c_out)))
 
     global _INTERPRET_DOTS_WIDEN
     _INTERPRET_DOTS_WIDEN = bool(interpret)
@@ -840,8 +845,9 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
                             memory_space=pltpu.VMEM)
 
     def pad_spec_c(c):
-        return pl.BlockSpec((c, 1), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
+        # whole [n_blocks, C] array visible to every grid step; kernels
+        # index their row dynamically (Mosaic forbids (C, 1) lane blocks)
+        return _full_spec((n_blocks, c))
 
     c_h = ops.layers[-1].wt.shape[0]
     dwp, dbp, dy = pl.pallas_call(
@@ -866,7 +872,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         compiler_params=cparams,
         interpret=interpret,
     )(acts[-1], dz, ops.wp)
-    dy_pad = jnp.zeros((c_h, n_blocks), jnp.float32)  # wp pad rows are zero
+    dy_pad = jnp.zeros((n_blocks, c_h), jnp.float32)  # wp pad rows are zero
 
     d_layers = [None] * n_layers
     for l in reversed(range(n_layers)):
@@ -874,7 +880,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         c_out = lay.wt.shape[0]
         c_in = lay.wt.shape[1]
         x_l = x_t if l == 0 else acts[l - 1]
-        kpad_l = (jnp.zeros((c_in, n_blocks), jnp.float32) if l == 0
+        kpad_l = (jnp.zeros((n_blocks, c_in), jnp.float32) if l == 0
                   else kpads[l - 1])
         w_args = list(lay)
         out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
@@ -882,7 +888,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         out_specs = [_full_spec(a.shape) for a in lay]
         out_shapes += [
             jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.dtype(dtype)),
-            jax.ShapeDtypeStruct((c_in, n_blocks), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, c_in), jnp.float32),
         ]
         out_specs += [act_spec(c_in), pad_spec_c(c_in)]
         outs = pl.pallas_call(
