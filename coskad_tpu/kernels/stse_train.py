@@ -409,10 +409,14 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
         )
         if save_acts:
             act_refs[l][:] = x3
-            # per-block pad constants: row i of a [n_blocks, C] array
-            # (a (C, 1) block over [C, n_blocks] would violate Mosaic's
-            # (8, 128) block-divisibility rule)
-            act_refs[n_layers + l][pl.ds(i, 1), :] = kpad.T
+            # per-block pad constants, one (8, C) block per grid step (the
+            # value replicated over the 8 sublanes): the smallest block
+            # Mosaic's (8, 128)-divisibility rule allows without dynamic
+            # stores
+            kref = act_refs[n_layers + l]
+            kref[:] = jnp.broadcast_to(
+                jnp.transpose(kpad, (1, 0)), kref.shape
+            )
         sums = internals[-1]
         for k in range(4):
             ref = stat_refs[4 * l + k]
@@ -726,15 +730,16 @@ def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
         def _():
             ref[:] = ref[:] + val
 
-    kpad_l = jnp.transpose(kpad_ref[pl.ds(i, 1), :], (1, 0))  # [C_in, 1]
-    dy_pad = jnp.transpose(dy_pad_ref[pl.ds(i, 1), :], (1, 0))  # [C_out, 1]
+    kpad_l = jnp.transpose(kpad_ref[0:1, :], (1, 0))  # [C_in, 1]
+    dy_pad = jnp.transpose(dy_pad_ref[0:1, :], (1, 0))  # [C_out, 1]
     dx3, dx_pad = _layer_bwd_body(
         lrefs, x_ref[:].astype(dtype), kpad_l,
         dy_ref[:].astype(dtype), dy_pad, out10, accum,
         bb, n_valid, res_id, dtype,
     )
     dx_ref[:] = dx3
-    dx_pad_ref[pl.ds(i, 1), :] = dx_pad.T
+    dx_pad_ref[:] = jnp.broadcast_to(jnp.transpose(dx_pad, (1, 0)),
+                                     dx_pad_ref.shape)
 
 
 # --------------------------------------------------------------------------
@@ -789,8 +794,9 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
         for lay in ops.layers:
             c_out = lay.wt.shape[0]
             out_shapes.append(
-                jax.ShapeDtypeStruct((n_blocks, c_out), jnp.float32))
-            out_specs.append(_full_spec((n_blocks, c_out)))
+                jax.ShapeDtypeStruct((8 * n_blocks, c_out), jnp.float32))
+            out_specs.append(pl.BlockSpec((8, c_out), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
 
     global _INTERPRET_DOTS_WIDEN
     _INTERPRET_DOTS_WIDEN = bool(interpret)
@@ -845,9 +851,11 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
                             memory_space=pltpu.VMEM)
 
     def pad_spec_c(c):
-        # whole [n_blocks, C] array visible to every grid step; kernels
-        # index their row dynamically (Mosaic forbids (C, 1) lane blocks)
-        return _full_spec((n_blocks, c))
+        # one (8, C) block per grid step of an [8*n_blocks, C] array, the
+        # value replicated over the 8 sublanes (Mosaic forbids (C, 1) lane
+        # blocks and 1-sublane blocks)
+        return pl.BlockSpec((8, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
 
     c_h = ops.layers[-1].wt.shape[0]
     dwp, dbp, dy = pl.pallas_call(
@@ -872,7 +880,8 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         compiler_params=cparams,
         interpret=interpret,
     )(acts[-1], dz, ops.wp)
-    dy_pad = jnp.zeros((n_blocks, c_h), jnp.float32)  # wp pad rows are zero
+    # wp pad rows are zero -> zero dy pad constants for the top layer
+    dy_pad = jnp.zeros((8 * n_blocks, c_h), jnp.float32)
 
     d_layers = [None] * n_layers
     for l in reversed(range(n_layers)):
@@ -880,7 +889,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         c_out = lay.wt.shape[0]
         c_in = lay.wt.shape[1]
         x_l = x_t if l == 0 else acts[l - 1]
-        kpad_l = (jnp.zeros((n_blocks, c_in), jnp.float32) if l == 0
+        kpad_l = (jnp.zeros((8 * n_blocks, c_in), jnp.float32) if l == 0
                   else kpads[l - 1])
         w_args = list(lay)
         out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
@@ -888,7 +897,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         out_specs = [_full_spec(a.shape) for a in lay]
         out_shapes += [
             jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.dtype(dtype)),
-            jax.ShapeDtypeStruct((n_blocks, c_in), jnp.float32),
+            jax.ShapeDtypeStruct((8 * n_blocks, c_in), jnp.float32),
         ]
         out_specs += [act_spec(c_in), pad_spec_c(c_in)]
         outs = pl.pallas_call(
