@@ -408,7 +408,11 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
             x3, kpad, lrefs, bb, n_valid, res_identity[l], dtype
         )
         if save_acts:
-            act_refs[l][:] = x3
+            # boundary activations stored f32 regardless of compute dtype:
+            # bf16-typed pallas OUTPUT blocks fail this toolchain's remote
+            # Mosaic compile (probed 2026-08-17; plain bf16 compute with
+            # f32 outputs compiles fine)
+            act_refs[l][:] = x3.astype(jnp.float32)
             # per-block pad constants, one (8, C) block per grid step (the
             # value replicated over the 8 sublanes): the smallest block
             # Mosaic's (8, 128)-divisibility rule allows without dynamic
@@ -704,7 +708,7 @@ def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
     dh_cn = jax.lax.dot_general(
         _dop(wp_ref[:], dtype), _dop(dz.T, dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(dtype)  # [C_h*N, bb]
+    )  # [C_h*N, bb] f32 (boundary arrays stay f32 — see _fwd_kernel note)
     dy_ref[:] = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))
 
 
@@ -737,7 +741,7 @@ def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
         dy_ref[:].astype(dtype), dy_pad, out10, accum,
         bb, n_valid, res_id, dtype,
     )
-    dx_ref[:] = dx3
+    dx_ref[:] = dx3.astype(jnp.float32)
     dx_pad_ref[:] = jnp.broadcast_to(jnp.transpose(dx_pad, (1, 0)),
                                      dx_pad_ref.shape)
 
@@ -787,7 +791,7 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
         for lay in ops.layers:
             c_out = lay.wt.shape[0]
             out_shapes.append(
-                jax.ShapeDtypeStruct((c_out, b, N_PAD), jnp.dtype(dtype)))
+                jax.ShapeDtypeStruct((c_out, b, N_PAD), jnp.float32))
             out_specs.append(pl.BlockSpec((c_out, bb, N_PAD),
                                           lambda i: (0, i, 0),
                                           memory_space=pltpu.VMEM))
@@ -864,7 +868,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         out_shape=(
             jax.ShapeDtypeStruct(ops.wp.shape, jnp.float32),
             jax.ShapeDtypeStruct(ops.bp.shape, jnp.float32),
-            jax.ShapeDtypeStruct((c_h, b, N_PAD), jnp.dtype(dtype)),
+            jax.ShapeDtypeStruct((c_h, b, N_PAD), jnp.float32),
         ),
         in_specs=[
             act_spec(c_h),
@@ -896,7 +900,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
                       for a in lay]
         out_specs = [_full_spec(a.shape) for a in lay]
         out_shapes += [
-            jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.dtype(dtype)),
+            jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.float32),
             jax.ShapeDtypeStruct((8 * n_blocks, c_in), jnp.float32),
         ]
         out_specs += [act_spec(c_in), pad_spec_c(c_in)]
