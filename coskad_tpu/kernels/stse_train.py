@@ -260,6 +260,16 @@ N_LAYER_OPS = len(LayerOps._fields)
 _INTERPRET_DOTS_WIDEN = False
 
 
+def _parse_dtype(dt):
+    """dt may be 'float32', 'bfloat16', or 'bfloat16_f32store' (bf16 MXU
+    inputs but fp32-stored big intermediates — the v2 storage policy that
+    compiled under scan where bf16-stored intermediates do not)."""
+    if dt == "bfloat16_f32store":
+        return jnp.dtype("bfloat16"), jnp.dtype("float32")
+    d = jnp.dtype(dt)
+    return d, d
+
+
 def _dop(a, dtype):
     """Prepare a dot operand: cast to compute dtype (bf16 halves the MXU
     input bandwidth), widening back to f32 only under interpret mode."""
@@ -317,6 +327,7 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
     shift_r, pre3, pre_pad, sums4).
     """
     (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = refs
+    ddt, sdt = _parse_dtype(dtype)
     c_in = x3.shape[0]
     c_out = wt.shape[0]
     cnt = bb * n_valid
@@ -324,21 +335,21 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
+            _dop(a, ddt), _dop(bmat, ddt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dotg(w, a3):  # 'jc,cbn->jbn'
         return jax.lax.dot_general(
-            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
+            _dop(w, ddt), _dop(a3, ddt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     # combined space-time graph contraction (free reshapes around one dot)
-    g3 = dot(x3.reshape(c_in * bb, N_PAD), m[:]).astype(dtype).reshape(
+    g3 = dot(x3.reshape(c_in * bb, N_PAD), m[:]).astype(sdt).reshape(
         c_in, bb, N_PAD
     )
-    t3 = (dotg(wt[:], g3) + b[:][:, None, :]).astype(dtype)
+    t3 = (dotg(wt[:], g3) + b[:][:, None, :]).astype(sdt)
     t_pad = b[:]
     t_sum = _colsum32(t3) - npad_cnt * t_pad
     t_sumsq = _colsumsq32(t3) - npad_cnt * t_pad * t_pad
@@ -358,7 +369,7 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
         r_sum = jnp.zeros((c_out, 1), jnp.float32)
         r_sumsq = jnp.zeros((c_out, 1), jnp.float32)
     else:
-        r3 = (dotg(wt_res[:], x3) + b_res[:][:, None, :]).astype(dtype)
+        r3 = (dotg(wt_res[:], x3) + b_res[:][:, None, :]).astype(sdt)
         r_pad = dot(wt_res[:], kpad) + b_res[:]
         r_sum = _colsum32(r3) - npad_cnt * r_pad
         r_sumsq = _colsumsq32(r3) - npad_cnt * r_pad * r_pad
@@ -368,13 +379,13 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
         scale_r = gamma_res[:] * r_inv_std
         shift_r = beta_res[:] - r_mean * scale_r
 
-    st = scale_t.astype(dtype)[:, None, :]
-    sht = shift_t.astype(dtype)[:, None, :]
-    sr = scale_r.astype(dtype)[:, None, :]
-    shr = shift_r.astype(dtype)[:, None, :]
-    pre3 = (t3 * st + sht + r3 * sr + shr).astype(dtype)
-    alpha_d = alpha[0, 0].astype(dtype)
-    y3 = jnp.where(pre3 >= 0, pre3, alpha_d * pre3).astype(dtype)
+    st = scale_t.astype(sdt)[:, None, :]
+    sht = shift_t.astype(sdt)[:, None, :]
+    sr = scale_r.astype(sdt)[:, None, :]
+    shr = shift_r.astype(sdt)[:, None, :]
+    pre3 = (t3 * st + sht + r3 * sr + shr).astype(sdt)
+    alpha_d = alpha[0, 0].astype(sdt)
+    y3 = jnp.where(pre3 >= 0, pre3, alpha_d * pre3).astype(sdt)
     pre_pad = t_pad * scale_t + shift_t + r_pad * scale_r + shift_r
     kpad_next = jnp.where(pre_pad >= 0, pre_pad, alpha[0, 0] * pre_pad)
     return y3, kpad_next, (
@@ -399,8 +410,9 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
     act_refs = out_refs[1 + 4 * n_layers :] if save_acts else ()
 
     i = pl.program_id(0)
+    ddt, sdt = _parse_dtype(dtype)
     c_in = x_ref.shape[0]
-    x3 = x_ref[:].astype(dtype)
+    x3 = x_ref[:].astype(sdt)
     kpad = jnp.zeros((c_in, 1), jnp.float32)
     for l in range(n_layers):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
@@ -436,7 +448,7 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
     c_h = x3.shape[0]
     hcn = jnp.transpose(x3, (0, 2, 1)).reshape(c_h * N_PAD, bb)
     z = jax.lax.dot_general(
-        hcn, wp_ref[:].astype(dtype), (((0,), (0,)), ((), ())),
+        _dop(hcn, ddt), _dop(wp_ref[:], ddt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     z_ref[:] = z + bp_ref[:]
@@ -469,12 +481,13 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     out_refs = refs[3 + N_LAYER_OPS * n_layers :]
 
     i = pl.program_id(0)
+    ddt, sdt = _parse_dtype(dtype)
     cnt = bb * n_valid
     npad_cnt = float(bb * (N_PAD - n_valid))
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
+            _dop(a, ddt), _dop(bmat, ddt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -504,7 +517,7 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
 
     # ---- forward remat, saving layer inputs (the only stored activations)
     c_in0 = x_ref.shape[0]
-    x_in = [x_ref[:].astype(dtype)]
+    x_in = [x_ref[:].astype(sdt)]
     kpads = [jnp.zeros((c_in0, 1), jnp.float32)]
     for l in range(n_layers):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
@@ -523,7 +536,7 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
         out_refs[N_LAYER_OPS * n_layers + 1],
         jnp.sum(dz, axis=0, keepdims=True),
     )  # dbp [1, L]
-    dh_cn = dot(wp_ref[:], dz.T).astype(dtype)  # [C_h*N, bb]
+    dh_cn = dot(wp_ref[:], dz.T).astype(sdt)  # [C_h*N, bb]
     dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))  # [C_h,bb,N]
     dy_pad = jnp.zeros((c_h, 1), jnp.float32)  # wp pad rows are zero
 
@@ -545,6 +558,7 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
     (dx3, dx_pad) for the layer below. Shared by the mono backward kernel
     and the per-layer split kernels."""
     (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = lrefs
+    ddt, sdt = _parse_dtype(dtype)
     cnt = bb * n_valid
     npad_cnt = float(bb * (N_PAD - n_valid))
     cols = bb * N_PAD
@@ -552,19 +566,19 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
+            _dop(a, ddt), _dop(bmat, ddt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dot0(a, bmat):  # contract dim 0 x dim 0 (lhsT form)
         return jax.lax.dot_general(
-            _dop(a, dtype), _dop(bmat, dtype), (((0,), (0,)), ((), ())),
+            _dop(a, ddt), _dop(bmat, ddt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dotg(w, a3):  # 'jc,cbn->jbn'
         return jax.lax.dot_general(
-            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
+            _dop(w, ddt), _dop(a3, ddt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -579,11 +593,11 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
 
     # PReLU backward (pre3 comes from the recomputed internals)
     neg = pre3 < 0
-    alpha_d = alpha[0, 0].astype(dtype)
-    dpre = jnp.where(neg, alpha_d * dy, dy).astype(dtype)
+    alpha_d = alpha[0, 0].astype(sdt)
+    dpre = jnp.where(neg, alpha_d * dy, dy).astype(sdt)
     neg_pad = pre_pad < 0
     dpre_pad = jnp.where(neg_pad, alpha[0, 0] * dy_pad, dy_pad)
-    dalpha_all = _colprod32(jnp.where(neg, dy, 0).astype(dtype), pre3)
+    dalpha_all = _colprod32(jnp.where(neg, dy, 0).astype(sdt), pre3)
     dalpha_pad = jnp.where(neg_pad, dy_pad * pre_pad, 0.0)
     dalpha = jnp.sum(dalpha_all - npad_cnt * dalpha_pad).reshape(1, 1)
     accum(out10[9], dalpha)
@@ -625,11 +639,11 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
     dg3 = (
         dotg((wt32 * a_t).T, dpre) + dotg((wt32 * b_t).T, t3)
         + bcast(jnp.matmul(wt32.T, c_t))
-    ).astype(dtype)
+    ).astype(sdt)
     dgr = dg3.reshape(c_in * bb, N_PAD)
     accum(out10[0], dot0(x3.reshape(c_in * bb, N_PAD), dgr))
     # ^ dm [N, N] (pad rows/cols sliced by the wrapper)
-    dx3 = dot(dgr, m[:].T).astype(dtype).reshape(c_in, bb, N_PAD)
+    dx3 = dot(dgr, m[:].T).astype(sdt).reshape(c_in, bb, N_PAD)
     # dg3's pad columns: g3 pads are zero, so d_t3 pads = a*dpre_pad +
     # b*t_pad + c feed wt^T; the graph backward then zeroes them again
     # (m pad rows are zero) — dx3 pad constant comes from the residual
@@ -673,7 +687,7 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
         dx3 = dx3 + (
             dotg((wr32 * a_r).T, dpre) + dotg((wr32 * b_r).T, r3)
             + bcast(jnp.matmul(wr32.T, c_r))
-        ).astype(dtype)
+        ).astype(sdt)
         dr_pad = a_r * dpre_pad + b_r * r_pad + c_r
         dx_pad = dx_pad + dot(wt_res[:].T, dr_pad)
     return dx3, dx_pad
@@ -685,13 +699,14 @@ def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
     saved final activation block and dz, accumulates dwp/dbp across the
     grid, writes the dy block for the top ST-GCNN layer."""
     i = pl.program_id(0)
+    ddt, sdt = _parse_dtype(dtype)
     c_h = y4_ref.shape[0]
     dz = dz_ref[:].astype(jnp.float32)  # [bb, L]
-    hcn = jnp.transpose(y4_ref[:].astype(dtype), (0, 2, 1)).reshape(
+    hcn = jnp.transpose(y4_ref[:].astype(sdt), (0, 2, 1)).reshape(
         c_h * N_PAD, bb
     )
     dwp = jax.lax.dot_general(
-        _dop(hcn, dtype), _dop(dz, dtype), (((1,), (0,)), ((), ())),
+        _dop(hcn, ddt), _dop(dz, ddt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -706,7 +721,7 @@ def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
         dbp_ref[:] = dbp_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
 
     dh_cn = jax.lax.dot_general(
-        _dop(wp_ref[:], dtype), _dop(dz.T, dtype), (((1,), (0,)), ((), ())),
+        _dop(wp_ref[:], ddt), _dop(dz.T, ddt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [C_h*N, bb] f32 (boundary arrays stay f32 — see _fwd_kernel note)
     dy_ref[:] = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))
@@ -734,11 +749,12 @@ def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
         def _():
             ref[:] = ref[:] + val
 
+    _ddt, sdt = _parse_dtype(dtype)
     kpad_l = jnp.transpose(kpad_ref[0:1, :], (1, 0))  # [C_in, 1]
     dy_pad = jnp.transpose(dy_pad_ref[0:1, :], (1, 0))  # [C_out, 1]
     dx3, dx_pad = _layer_bwd_body(
-        lrefs, x_ref[:].astype(dtype), kpad_l,
-        dy_ref[:].astype(dtype), dy_pad, out10, accum,
+        lrefs, x_ref[:].astype(sdt), kpad_l,
+        dy_ref[:].astype(sdt), dy_pad, out10, accum,
         bb, n_valid, res_id, dtype,
     )
     dx_ref[:] = dx3.astype(jnp.float32)
@@ -806,7 +822,7 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
     _INTERPRET_DOTS_WIDEN = bool(interpret)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers, bb, n_valid, res_identity,
-                          jnp.dtype(dtype), save_acts),
+                          dtype, save_acts),
         grid=(n_blocks,),
         out_shape=tuple(out_shapes),
         in_specs=[
@@ -863,7 +879,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
 
     c_h = ops.layers[-1].wt.shape[0]
     dwp, dbp, dy = pl.pallas_call(
-        functools.partial(_proj_bwd_kernel, bb, jnp.dtype(dtype)),
+        functools.partial(_proj_bwd_kernel, bb, dtype),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct(ops.wp.shape, jnp.float32),
@@ -906,7 +922,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         out_specs += [act_spec(c_in), pad_spec_c(c_in)]
         outs = pl.pallas_call(
             functools.partial(_layer_bwd_kernel, bb, n_valid,
-                              res_identity[l], jnp.dtype(dtype)),
+                              res_identity[l], dtype),
             grid=(n_blocks,),
             out_shape=tuple(out_shapes),
             in_specs=[
@@ -951,7 +967,7 @@ def _bwd_pallas(x_t, dz, ops: EncoderOps, n_valid, ghost_size, res_identity,
     _INTERPRET_DOTS_WIDEN = bool(interpret)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_layers, bb, n_valid, res_identity,
-                          jnp.dtype(dtype)),
+                          dtype),
         grid=(n_blocks,),
         out_shape=tuple(out_shapes),
         in_specs=[
@@ -1066,9 +1082,8 @@ def fused_stse_apply(
         assert n <= N_PAD and b % ghost_size == 0, (b, ghost_size, n)
         ops = encoder_ops_from_tree(params, n)
         res_identity = has_identity_residual(params)
-        x_t = jnp.transpose(x.reshape(b, c_in, n), (1, 0, 2)).astype(
-            jnp.dtype(compute_dtype)
-        )
+        in_dt, _store = _parse_dtype(compute_dtype)
+        x_t = jnp.transpose(x.reshape(b, c_in, n), (1, 0, 2)).astype(in_dt)
         x_t = jnp.pad(x_t, ((0, 0), (0, 0), (0, N_PAD - n)))
         z, sums = fused_ghost_encode(x_t, ops, n, ghost_size, res_identity,
                                      interpret, compute_dtype, bwd_mode)

@@ -109,6 +109,10 @@ def main(argv):
                 g, dt_, sl = job[2:].split(",")
                 timed_scan(fused_loss(int(g), dt_),
                            f"fused-split ghost={g} {dt_}", int(sl))
+            elif job.startswith("tm:"):  # mono backward
+                g, dt_, sl = job[3:].split(",")
+                timed_scan(fused_loss(int(g), dt_, bwd_mode="mono"),
+                           f"fused-mono ghost={g} {dt_}", int(sl))
             elif job.startswith("fwd:"):
                 g, dt_ = job[4:].split(",")
                 g = int(g)
