@@ -43,12 +43,45 @@ def clip_label(clip_json: str) -> str:
     return os.path.splitext(base)[0]
 
 
+def load_clip_scores(clip_json: str, scores_dir: str):
+    """Per-frame per-person scores for one clip from an `eval --save-scores`
+    dump: reads error_per_person_scene_{S}_scenario_{C}.npy (rows follow
+    sorted person ids — the eval aggregation's fig_ids order) and maps
+    columns to the clip's frame keys. Returns {frame_key: {pid: score}} or
+    None when no matching npy exists."""
+    import re
+
+    import numpy as np
+
+    m = re.match(r"(\d+)_(\d+)", clip_label(clip_json))
+    if not m:
+        return None
+    path = os.path.join(
+        scores_dir,
+        f"error_per_person_scene_{int(m.group(1))}_scenario_"
+        f"{int(m.group(2))}.npy")
+    if not os.path.exists(path):
+        return None
+    epp = np.load(path)  # [P, F]
+    vis = ClipVisualizer()
+    vis.load_clip_json(clip_json)
+    keys = vis.frame_keys()
+    pids = sorted({pid for k in keys for pid in vis.actors_in_frame(k)},
+                  key=lambda p: int(p))
+    out = {}
+    for col, key in enumerate(keys[: epp.shape[1]]):
+        out[key] = {pid: float(epp[row, col])
+                    for row, pid in enumerate(pids) if row < epp.shape[0]}
+    return out
+
+
 def render_clip_video(
     clip_json: str,
     dataset: str = "ubnormal",
     frames_dir: Optional[str] = None,
     out_path: Optional[str] = None,
     fmt: str = "gif",
+    scores_dir: Optional[str] = None,
 ) -> str:
     """Render one clip's skeleton animation to mp4/gif and return the path.
     Headless (Agg); the Streamlit layer is display-only on top of this."""
@@ -57,7 +90,9 @@ def render_clip_video(
                                 f"coskad_vis_{clip_label(clip_json)}.{fmt}")
     vis = ClipVisualizer(dataset)
     vis.load_clip_json(clip_json)
-    vis.animate(out_path, frames_dir=frames_dir)
+    frame_scores = (load_clip_scores(clip_json, scores_dir)
+                    if scores_dir else None)
+    vis.animate(out_path, frames_dir=frames_dir, frame_scores=frame_scores)
     return out_path
 
 
@@ -78,7 +113,7 @@ def streamlit_app():  # pragma: no cover - exercised only under streamlit
                   if params.frames_dir else None)
     with st.spinner("Rendering skeleton animation..."):
         video = render_clip_video(clip_json, params.dataset, frames_dir,
-                                  fmt="mp4")
+                                  fmt="mp4", scores_dir=params.scores_dir)
     st.video(video)
 
 
@@ -89,6 +124,9 @@ def _parse_args(argv=None):
     p.add_argument("--dataset", default="ubnormal")
     p.add_argument("--frames-dir", default=None,
                    help="optional extracted-frames root for backgrounds")
+    p.add_argument("--scores-dir", default=None,
+                   help="optional `eval --save-scores` dump: annotate each "
+                        "skeleton with its per-frame anomaly score")
     p.add_argument("--out-dir", default=None,
                    help="headless mode: write animations here")
     return p.parse_args(argv)
@@ -115,7 +153,8 @@ def main(argv=None):
                       if params.frames_dir else None)
         out = render_clip_video(
             clip_json, params.dataset, frames_dir,
-            out_path=os.path.join(out_dir, f"{name}.gif"))
+            out_path=os.path.join(out_dir, f"{name}.gif"),
+            scores_dir=params.scores_dir)
         print(out)
 
 

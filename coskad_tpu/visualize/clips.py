@@ -113,8 +113,14 @@ class ClipVisualizer:
         ax.axis("off")
 
     def animate(self, out_path: str, frames_dir: Optional[str] = None,
-                max_frames: Optional[int] = None) -> str:
-        """Write an animation (mp4 if ffmpeg available, else gif)."""
+                max_frames: Optional[int] = None,
+                frame_scores: Optional[Dict[str, Dict[str, float]]] = None
+                ) -> str:
+        """Write an animation (mp4 if ffmpeg available, else gif).
+
+        frame_scores: optional {frame_key: {person_id: anomaly_score}}
+        (e.g. from scores npys written by `eval --save-scores`) — each
+        skeleton gets its per-frame score annotated."""
         import matplotlib
 
         matplotlib.use("Agg")
@@ -128,7 +134,8 @@ class ClipVisualizer:
             keys = keys[:max_frames]
         anim = FuncAnimation(
             fig,
-            lambda k: self.render_frame(ax, k, frames_dir),
+            lambda k: self.render_frame(ax, k, frames_dir,
+                                        scores=(frame_scores or {}).get(k)),
             frames=keys,
             interval=1000 // self.fps,
         )

@@ -216,3 +216,37 @@ def test_viz_app_headless(tmp_path, rng):
           "--dataset", "avenue"])
     assert sorted(p.name for p in out2.iterdir()) == [
         "01_0001_tracked.gif", "01_0002_tracked.gif"]
+
+
+def test_viz_app_score_overlay(tmp_path, rng):
+    """--scores-dir: the app maps an eval --save-scores dump onto the
+    clip's skeletons (rows = sorted person ids, cols = frame keys)."""
+    from coskad_tpu.visualize.app import load_clip_scores, main
+
+    flat = tmp_path / "pose"
+    flat.mkdir()
+    clip = _tiny_clip(rng, n_frames=4)
+    with open(flat / "01_0002_tracked.json", "w") as f:
+        json.dump(clip, f)
+    scores_dir = tmp_path / "saved"
+    scores_dir.mkdir()
+    epp = np.arange(8, dtype=np.float64).reshape(2, 4)  # [P=2, F=4]
+    np.save(scores_dir / "error_per_person_scene_1_scenario_2.npy", epp)
+
+    fs = load_clip_scores(str(flat / "01_0002_tracked.json"),
+                          str(scores_dir))
+    keys = sorted(fs.keys())
+    assert len(keys) == 4
+    # person "1" is row 0, person "2" row 1; column = frame position
+    assert fs[keys[0]] == {"1": 0.0, "2": 4.0}
+    assert fs[keys[3]] == {"1": 3.0, "2": 7.0}
+    # no npy for this clip -> None
+    with open(flat / "09_0009_tracked.json", "w") as f:
+        json.dump(clip, f)
+    assert load_clip_scores(str(flat / "09_0009_tracked.json"),
+                            str(scores_dir)) is None
+
+    out = tmp_path / "out"
+    main(["--data-dir", str(flat), "--out-dir", str(out),
+          "--dataset", "avenue", "--scores-dir", str(scores_dir)])
+    assert (out / "01_0002_tracked.gif").stat().st_size > 0
