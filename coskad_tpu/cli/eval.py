@@ -27,6 +27,11 @@ def main(argv=None):
                         help="dump per-clip per-person score npys in the "
                              "analysis-notebook layout (error_per_person_"
                              "scene_S_scenario_C.npy + gt_masks/)")
+    parser.add_argument("--save-roc", default=None, metavar="DIR",
+                        help="write per-transform + final ROC PNGs and "
+                             "print best thresholds (reference "
+                             "eval_COSKAD.py:237-241 writes "
+                             "<ckpt>_tN_roc_hyp.png for non-Avenue runs)")
     args = parser.parse_args(argv)
 
     from ..utils.cache import enable_compile_cache
@@ -115,6 +120,20 @@ def main(argv=None):
             )
         print(f"\nTest set score for transformation {t + 1}\n")
         print(f"auc = {result.per_transform_auc[t]}")
+    if args.save_roc:
+        from ..score.auc import best_threshold
+        from ..visualize.plots import plot_roc
+
+        os.makedirs(args.save_roc, exist_ok=True)
+        for t in range(k):
+            s_t = result.per_transform_scores[t]
+            gt_t = result.per_transform_gt[t]
+            plot_roc(gt_t, s_t,
+                     os.path.join(args.save_roc, f"t{t}_roc_hyp.png"))
+            thr, _ = best_threshold(gt_t, s_t)
+            print(f"best threshold (transform {t + 1}): {thr}")
+        plot_roc(result.gt, result.scores,
+                 os.path.join(args.save_roc, "final_roc.png"))
     print(f"final AUC score: {result.auc:.6f}")
     return result
 

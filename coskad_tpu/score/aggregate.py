@@ -46,6 +46,11 @@ class EvalResult:
     per_clip_auc_all: Dict[Tuple[int, int, int], float] = field(default_factory=dict)
     scores: Optional[np.ndarray] = None  # final per-frame scores (masked+smoothed)
     gt: Optional[np.ndarray] = None
+    # per-transform smoothed score/gt vectors (the reference's
+    # model_scores_transf/dataset_gt_transf, eval_COSKAD.py:244-245) —
+    # feed the per-transform ROC PNGs and best thresholds
+    per_transform_scores: List[np.ndarray] = field(default_factory=list)
+    per_transform_gt: List[np.ndarray] = field(default_factory=list)
 
 
 def evaluate_windows(
@@ -194,4 +199,6 @@ def evaluate_windows(
         per_clip_auc_all=per_clip_auc_all,
         scores=final_scores,
         gt=final_gt,
+        per_transform_scores=per_transform_scores,
+        per_transform_gt=per_transform_gt,
     )

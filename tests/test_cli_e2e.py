@@ -307,3 +307,23 @@ def test_cli_device_pipeline_matches_windows_pipeline(tmp_path):
     assert np.isfinite(dev.auc) and dev.auc > 0.6
     # independent training runs; the pipelines must agree on ranking quality
     assert abs(dev.auc - base.auc) < 0.05
+
+
+def test_eval_cli_save_roc(tmp_path):
+    """--save-roc writes per-transform + final ROC PNGs and prints best
+    thresholds (reference eval_COSKAD.py:237-241)."""
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli import train as train_cli
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+    roc_dir = str(tmp_path / "roc")
+    result = eval_cli.main(["--config", cfg_path, "--save-roc", roc_dir])
+    k = len(result.per_transform_auc)
+    assert len(result.per_transform_scores) == k
+    for t in range(k):
+        p = os.path.join(roc_dir, f"t{t}_roc_hyp.png")
+        assert os.path.getsize(p) > 0
+        assert len(result.per_transform_scores[t]) == len(result.gt)
+    assert os.path.getsize(os.path.join(roc_dir, "final_roc.png")) > 0
