@@ -232,3 +232,45 @@ def test_fused_bf16_path_close_to_fp32(rng):
         if denom > 1e-10:
             cos = float(a @ b / denom)
             assert cos > 0.98, (jax.tree_util.keystr(path), cos)
+
+
+def test_fused_train_auto_semantics():
+    """fused_train='auto' engages the ghost-BN path when the variant is
+    compatible and silently falls back (no error) when it is not — e.g.
+    the autoencoder keeps the XLA live-BN path."""
+    import dataclasses
+
+    import numpy as onp
+
+    from coskad_tpu.config import (Config, DataConfig, ModelConfig,
+                                   OptConfig, RunConfig)
+    from coskad_tpu.data.windows import SegmentDataset
+    from coskad_tpu.parallel import create_mesh
+    from coskad_tpu.train.loop import Trainer
+
+    rng = onp.random.default_rng(0)
+    ds = SegmentDataset(
+        data=rng.normal(size=(32, 3, 12, 17)).astype(onp.float32),
+        meta=onp.tile([1, 1, 1, 1], (32, 1)).astype(onp.int64),
+        frame_ids=onp.tile(onp.arange(1, 13), (32, 1)).astype(onp.int32),
+        num_transform=1,
+    )
+    base = Config(
+        model=ModelConfig(variant="euclidean_static"),
+        data=DataConfig(seg_len=12, batch_size=16, num_transform=1,
+                        kp18_format=False),
+        opt=OptConfig(lr=1e-4, epochs=1),
+        run=RunConfig(fused_train="auto", ghost_size=8),
+    )
+    mesh = create_mesh(1, 1, devices=jax.devices()[:1])
+    assert Trainer(base, ds, mesh=mesh)._fused_compat
+
+    ae = dataclasses.replace(
+        base, model=dataclasses.replace(base.model, variant="autoencoder"))
+    assert not Trainer(ae, ds, mesh=mesh)._fused_compat  # silent fallback
+
+    # 'on' with an incompatible variant must raise instead
+    ae_on = dataclasses.replace(
+        ae, run=dataclasses.replace(ae.run, fused_train="on"))
+    with pytest.raises(ValueError):
+        Trainer(ae_on, ds, mesh=mesh)
