@@ -31,23 +31,33 @@ Reference call-sites this replaces at train time: STSE.encode
 (/root/reference/models/graph_layers/stsgcn.py:106-155).
 
 Layout notes (Mosaic-probed on this toolchain):
-  * Activations live as 2D [C, Bb*N] — channels on sublanes, (sample, node)
-    on lanes — so the 1x1 dense is a plain [C_out, C_in] @ [C_in, cols] dot
-    and BatchNorm is a masked row reduction. N = T*V is zero-padded to 256
-    (a lane multiple), which makes the reshapes [C, Bb*N] <-> [C*Bb, N]
-    (graph contraction form) pure, supported relayouts.
-  * Supported & used: lhsT dots (contract dim 0 x dim 0) for dM and dWp,
-    in-kernel `.T` on the dense-grad rhs, (0,2,1) transposes, iota-%-mask
-    column reductions. NOT supported (avoided): rhsT dots (contract minor x
-    minor).
+  * Activations live as 3D [C, Bb, N] blocks — channels major, (sample,
+    node) on the tiled sublane/lane dims — so the 1x1 dense is a 2Dx3D
+    'jc,cbn->jbn' dot and BatchNorm stats are sequential single-axis
+    reductions. N = T*V is zero-padded to 256 (a lane multiple), which
+    makes the reshape [C, Bb, N] <-> [C*Bb, N] (graph-contraction form) a
+    pure major-axis merge; [C, Bb*N] (minor merge) is NOT free and is
+    avoided.
+  * Supported & used: lhsT dots (contract dim 0 x dim 0) for dM/dWp and
+    eye-matmul transposes, in-kernel `.T` on small 2D operands, (0,2,1)
+    transposes, iota masks. NOT supported (avoided): rhsT dots (contract
+    minor x minor), multi-axis jnp.sum, (C, 1) lane blocks / 1-sublane
+    blocks in BlockSpecs, bf16-STORED intermediates (bf16 dot inputs are
+    fine — see _parse_dtype).
   * Weight gradients accumulate across the sequential TPU grid into
     constant-index output blocks (init on block 0, += after).
+  * Two backward modes (bwd_mode): 'split' (default) = one small kernel
+    per layer reading forward-saved boundary activations; 'mono' = one
+    kernel rematerializing the whole stack in VMEM. See DESIGN.md 6b and
+    RESULTS.md 'Fused train kernel' for the measured trade-offs and the
+    compile-infrastructure constraints that currently keep this path off
+    by default.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
