@@ -313,7 +313,7 @@ def _colprod32(a3, b3):
 
 
 def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
-               dtype=jnp.float32):
+               dtype=jnp.float32, need_y=True):
     """One ST-GCNN layer on a 3D [C_in, bb, N_PAD] activation.
 
     TPU layout strategy (measured, see module docstring): every reshape used
@@ -395,7 +395,10 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
     shr = shift_r.astype(sdt)[:, None, :]
     pre3 = (t3 * st + sht + r3 * sr + shr).astype(sdt)
     alpha_d = alpha[0, 0].astype(sdt)
-    y3 = jnp.where(pre3 >= 0, pre3, alpha_d * pre3).astype(sdt)
+    # need_y=False (the backward recompute): the PReLU output pass is
+    # skipped — the backward only consumes pre3 and the branch internals
+    y3 = (jnp.where(pre3 >= 0, pre3, alpha_d * pre3).astype(sdt)
+          if need_y else None)
     pre_pad = t_pad * scale_t + shift_t + r_pad * scale_r + shift_r
     kpad_next = jnp.where(pre_pad >= 0, pre_pad, alpha[0, 0] * pre_pad)
     return y3, kpad_next, (
@@ -598,7 +601,8 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
     _y, _kp, (
         g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
         scale_t, shift_t, scale_r, shift_r, pre3, pre_pad, _sums,
-    ) = _layer_fwd(x3, kpad_l, lrefs, bb, n_valid, res_id, dtype)
+    ) = _layer_fwd(x3, kpad_l, lrefs, bb, n_valid, res_id, dtype,
+                   need_y=False)
     t_sum, _t_sumsq, r_sum, _r_sumsq = _sums
 
     # PReLU backward (pre3 comes from the recomputed internals)
@@ -607,7 +611,9 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
     dpre = jnp.where(neg, alpha_d * dy, dy).astype(sdt)
     neg_pad = pre_pad < 0
     dpre_pad = jnp.where(neg_pad, alpha[0, 0] * dy_pad, dy_pad)
-    dalpha_all = _colprod32(jnp.where(neg, dy, 0).astype(sdt), pre3)
+    # dalpha = sum_neg dy*pre3 == sum dy*min(pre3, 0): the minimum fuses
+    # into the product reduction (saves the separate where pass)
+    dalpha_all = _colprod32(dy, jnp.minimum(pre3, 0))
     dalpha_pad = jnp.where(neg_pad, dy_pad * pre_pad, 0.0)
     dalpha = jnp.sum(dalpha_all - npad_cnt * dalpha_pad).reshape(1, 1)
     accum(out10[9], dalpha)
