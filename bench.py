@@ -70,7 +70,8 @@ def _bench_dataset(pipeline: str):
 
 
 def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
-                fused_train: str = "off") -> dict:
+                fused_train: str = "off",
+                variant: str = "euclidean_static") -> dict:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -83,10 +84,10 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
     from coskad_tpu.train.loop import Trainer
 
     n_chips = jax.device_count()
-    log(f"[bench] {pipeline}/{dtype} fused={fused_train} "
+    log(f"[bench] {pipeline}/{dtype}/{variant} fused={fused_train} "
         f"devices: {jax.devices()}")
     cfg = Config(
-        model=ModelConfig(variant="euclidean_static", channels=CHANNELS,
+        model=ModelConfig(variant=variant, channels=CHANNELS,
                           h_dim=H_DIM, latent_dim=LATENT),
         data=DataConfig(seg_len=T, batch_size=BATCH, num_transform=5,
                         n_joints_override=V),
@@ -116,16 +117,18 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
 
     # Warmup / compile with the SAME chunk shapes as the timed runs (scan
     # length is a static shape; differing K would recompile inside timing).
-    k_score = 10
+    # Scoring runs the fused embed+score scan (_score_many, one dispatch)
+    # over as many chunks as the train epoch: per-dispatch tunnel latency is
+    # 15-77 ms, so short scans would measure mostly dispatch overhead.
+    k_score = TRAIN_STEPS_TIMED
     chunks = idx_chunks(TRAIN_STEPS_TIMED)
     score_chunks_warm = idx_chunks(k_score)
     state, m = trainer._train_epoch(state, trainer.train_data, chunks)
     jax.block_until_ready(m["loss"])
-    z, _rec = trainer._embed_many(state.params, state.batch_stats,
-                                  trainer.train_data, score_chunks_warm,
-                                  state.rng)
-    warm_scores = trainer._score_fn(z.reshape(BATCH * k_score, -1), state.center,
-                                    state.inv_cov, state.mean_vector)
+    warm_scores, _ = trainer._score_many(
+        state.params, state.batch_stats, trainer.train_data,
+        score_chunks_warm, state.rng, state.center, state.inv_cov,
+        state.mean_vector)
     jax.block_until_ready(warm_scores)
     t0 = time.perf_counter()
     state, m = trainer._train_epoch(state, trainer.train_data, chunks)
@@ -133,14 +136,14 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
     train_time = time.perf_counter() - t0
     train_wps = BATCH * TRAIN_STEPS_TIMED / train_time
 
-    # Timed scoring pass (embed + window scores), one dispatch.
+    # Timed scoring pass (gather + eval forward + variant distance), one
+    # scanned dispatch.
     n_score = BATCH * k_score
     score_chunks = idx_chunks(k_score)
     t0 = time.perf_counter()
-    zs, _recs = trainer._embed_many(state.params, state.batch_stats,
-                                    trainer.train_data, score_chunks, state.rng)
-    scores = trainer._score_fn(zs.reshape(n_score, -1), state.center,
-                               state.inv_cov, state.mean_vector)
+    scores, _recs = trainer._score_many(
+        state.params, state.batch_stats, trainer.train_data, score_chunks,
+        state.rng, state.center, state.inv_cov, state.mean_vector)
     jax.block_until_ready(scores)
     score_time = time.perf_counter() - t0
     score_wps = n_score / score_time
@@ -149,13 +152,64 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
     combined = 1.0 / (1.0 / train_wps + 1.0 / score_wps)
     log(f"[bench] train: {train_wps:,.0f} w/s  score: {score_wps:,.0f} w/s  "
         f"combined: {combined:,.0f} w/s  chips: {n_chips}")
-    return {
+    out = {
         "combined_wps_per_chip": round(combined / n_chips, 1),
         "train_wps": round(train_wps, 1),
         "score_wps": round(score_wps, 1),
         "train_ms_per_step": round(1e3 * train_time / TRAIN_STEPS_TIMED, 3),
         "score_ms_per_batch": round(1e3 * score_time / k_score, 3),
         "chips": n_chips,
+    }
+    out.update(roofline(cfg, train_wps, score_wps))
+    return out
+
+
+# v5e per-chip peaks (public spec): 197 TFLOP/s bf16, 394 TOP/s int8,
+# 819 GB/s HBM bandwidth. fp32 matmuls run ~1/4 the bf16 MXU rate.
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBS = 819.0
+
+
+def model_flops_per_window(channels, h_dim, latent, t, v):
+    """Analytic forward FLOPs per pose window for the STSE encoder: per
+    layer the combined [N,N] graph contraction (2*N^2*C_in), the 1x1 dense
+    (2*N*C_in*C_out), the residual dense when channels change, and the
+    projector (2*N*C_h*latent). Elementwise (BN/PReLU) FLOPs are omitted
+    (<2% of total; they are bandwidth, not MXU, work)."""
+    n = t * v
+    chans = [2, *channels, h_dim]
+    fl = 0
+    for cin, cout in zip(chans[:-1], chans[1:]):
+        fl += 2 * n * n * cin          # graph contraction
+        fl += 2 * n * cin * cout       # tcn dense
+        if cin != cout:
+            fl += 2 * n * cin * cout   # residual dense
+    fl += 2 * n * h_dim * latent       # projector
+    return fl
+
+
+def roofline(cfg, train_wps, score_wps):
+    """Quantify which bound the measured rates hit: achieved TFLOP/s and
+    MFU vs the v5e bf16 peak (VERDICT round-2 item 8). The model is <300k
+    params, so MFU is structurally low single-digit — the honest bound for
+    this workload is the op-dispatch floor + HBM bandwidth of the
+    elementwise passes, which is why windows/s is the headline metric."""
+    fwd = model_flops_per_window(
+        tuple(cfg.model.channels), cfg.model.h_dim, cfg.model.latent_dim,
+        cfg.data.seg_len, cfg.data.n_joints)
+    if cfg.model.use_decoder:
+        fwd *= 2  # mirrored STS-GCN decoder ~doubles the forward FLOPs
+    train_fl = 3 * fwd  # fwd + ~2x fwd for the backward
+    train_tflops = train_wps * train_fl / 1e12
+    score_tflops = score_wps * fwd / 1e12
+    return {
+        "flops_per_window_fwd": fwd,
+        "train_tflops": round(train_tflops, 3),
+        "train_mfu_pct": round(100 * train_tflops / V5E_PEAK_BF16_TFLOPS, 2),
+        "score_tflops": round(score_tflops, 3),
+        "score_mfu_pct": round(100 * score_tflops / V5E_PEAK_BF16_TFLOPS, 2),
+        "bound": "dispatch+HBM (sub-MXU-scale model; windows/s is the "
+                 "operative metric)",
     }
 
 
@@ -231,19 +285,28 @@ def main():
     # tests/test_cli_e2e.py::test_cli_device_pipeline_matches_windows_pipeline.
     # Secondary configs: materialized windows at bf16, and fp32.
     configs = [
-        ("store", "bfloat16"),
-        ("windows", "bfloat16"),
-        ("windows", "float32"),
+        ("store", "bfloat16", "euclidean_static"),
+        ("windows", "bfloat16", "euclidean_static"),
+        ("windows", "float32", "euclidean_static"),
+        # All five reference variants (train_COSKAD.py:36-55 dispatch),
+        # measured with the same harness on the store pipeline.
+        ("store", "bfloat16", "euclidean_dynamic"),
+        ("store", "bfloat16", "autoencoder"),
+        ("store", "bfloat16", "vae"),
+        ("store", "bfloat16", "hyperbolic"),
     ]
-    if len(sys.argv) > 1:  # bench.py windows bfloat16 — one config only
-        configs = [(sys.argv[1], sys.argv[2] if len(sys.argv) > 2
-                    else "bfloat16")]
+    if len(sys.argv) > 1:  # bench.py windows bfloat16 [variant] — one config
+        configs = [(sys.argv[1],
+                    sys.argv[2] if len(sys.argv) > 2 else "bfloat16",
+                    sys.argv[3] if len(sys.argv) > 3 else "euclidean_static")]
     details = {}
-    for pipeline, dtype in configs:
+    for pipeline, dtype, variant in configs:
+        key = (f"{pipeline}_{dtype}" if variant == "euclidean_static"
+               else f"variant_{variant}")
         try:
-            details[f"{pipeline}_{dtype}"] = measure_tpu(pipeline, dtype)
+            details[key] = measure_tpu(pipeline, dtype, variant=variant)
         except Exception as e:
-            log(f"[bench] {pipeline}/{dtype} failed: {e}")
+            log(f"[bench] {pipeline}/{dtype}/{variant} failed: {e}")
             if not details:
                 raise  # headline config must succeed
     value = details[f"{configs[0][0]}_{configs[0][1]}"][

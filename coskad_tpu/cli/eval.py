@@ -74,11 +74,8 @@ def main(argv=None):
     state = trainer.attach_state(state)
     print(f"[coskad] restored {ckpt_path} {extra}")
 
-    z, rec = trainer.embed_all(state, test_ds, trainer.train_data, return_rec=True)
-    scores = np.asarray(
-        trainer._score_fn(jnp.asarray(z), state.center, state.inv_cov,
-                          state.mean_vector)
-    )
+    # One scanned device dispatch for the whole embed+score pass.
+    scores, rec = trainer.score_all(state, test_ds, trainer.train_data)
     if cfg.model.variant == "autoencoder" and args.rec_weight != 0:
         from ..score.window_losses import mode_from_rec_weight
 

@@ -60,13 +60,17 @@ def main(argv=None):
     logger = MetricLogger(log_dir=ckpt_dir)
     trainer = Trainer(cfg, train_ds, val_ds, gts, logger=logger)
     state = trainer.init_state()
-    start_epoch, best_auc = 0, -1.0
+    # Two best checkpoints, like the reference's ModelCheckpoint(save_top_k=2)
+    # (train_COSKAD.py:70-73): best.ckpt is the top score, best2.ckpt the
+    # runner-up; a new best rotates the old best into best2.
+    start_epoch, best_auc, best2_auc = 0, -1.0, -1.0
     resume_path = os.path.join(ckpt_dir, "last.ckpt")
     if args.resume and os.path.exists(resume_path):
         state, _, extra = checkpoint.restore(resume_path, state)
         state = trainer.attach_state(state)
         start_epoch = int(extra.get("epoch", -1)) + 1
         best_auc = float(extra.get("best_auc", -1.0))
+        best2_auc = float(extra.get("best2_auc", -1.0))
         print(f"[coskad] resumed from {resume_path} at epoch {start_epoch}")
     else:
         state = trainer.initialize_center(state)
@@ -77,16 +81,27 @@ def main(argv=None):
     for epoch in range(start_epoch, epochs):
         state, history = trainer.fit(state=state, epochs=1)
         auc = history["validation_auc"][-1] if history["validation_auc"] else None
+        best_path = os.path.join(ckpt_dir, "best.ckpt")
         if auc is not None and auc > best_auc:
+            if best_auc > -1.0 and os.path.exists(best_path):
+                os.replace(best_path, os.path.join(ckpt_dir, "best2.ckpt"))
+                best2_auc = best_auc
             best_auc = auc
             checkpoint.save(
-                os.path.join(ckpt_dir, "best.ckpt"), state, cfg,
+                best_path, state, cfg,
+                scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
+            )
+        elif auc is not None and auc > best2_auc:
+            best2_auc = auc
+            checkpoint.save(
+                os.path.join(ckpt_dir, "best2.ckpt"), state, cfg,
                 scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
             )
         checkpoint.save(
             os.path.join(ckpt_dir, "last.ckpt"), state, cfg,
             scaler=train_ds.scaler,
-            extra={"epoch": epoch, "best_auc": best_auc},
+            extra={"epoch": epoch, "best_auc": best_auc,
+                   "best2_auc": best2_auc},
         )
         msg = f"[coskad] epoch {epoch + 1}/{epochs} loss={history['loss'][-1]:.6f}"
         if auc is not None:

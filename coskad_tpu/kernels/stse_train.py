@@ -263,28 +263,38 @@ def ghost_encode_reference(
 
 N_LAYER_OPS = len(LayerOps._fields)
 
-# The CPU backend cannot execute bf16 x bf16 -> f32 dots; under interpret
-# mode we round operands to bf16 and widen to f32, which reproduces the
-# MXU's semantics exactly (bf16 inputs, fp32 accumulation). Set by the
-# pallas_call wrappers before tracing.
-_INTERPRET_DOTS_WIDEN = False
-
-
 def _parse_dtype(dt):
     """dt may be 'float32', 'bfloat16', or 'bfloat16_f32store' (bf16 MXU
     inputs but fp32-stored big intermediates — the v2 storage policy that
-    compiled under scan where bf16-stored intermediates do not)."""
+    compiled under scan where bf16-stored intermediates do not). The dt
+    string may carry a '+widen' suffix (interpret mode: the CPU backend
+    cannot execute bf16 x bf16 -> f32 dots, so operands are rounded to bf16
+    then widened back to f32, reproducing the MXU's semantics exactly)."""
+    dt = dt.removesuffix("+widen")
     if dt == "bfloat16_f32store":
         return jnp.dtype("bfloat16"), jnp.dtype("float32")
     d = jnp.dtype(dt)
     return d, d
 
 
+def _widen_dtype(dt: str, interpret: bool) -> str:
+    """Tag the compute-dtype string for interpret mode (see _parse_dtype).
+    Threaded through the kernels as part of the static dtype arg — an
+    explicit parameter, not a mutable module global, so concurrent tracing
+    of interpret and compiled variants cannot interleave."""
+    return dt + "+widen" if interpret else dt
+
+
 def _dop(a, dtype):
     """Prepare a dot operand: cast to compute dtype (bf16 halves the MXU
-    input bandwidth), widening back to f32 only under interpret mode."""
+    input bandwidth), widening back to f32 only under interpret mode
+    (dtype tagged '+widen' by the pallas_call wrappers)."""
+    widen = False
+    if isinstance(dtype, str):
+        widen = dtype.endswith("+widen")
+        dtype = _parse_dtype(dtype)[0]
     a = a.astype(dtype)
-    if _INTERPRET_DOTS_WIDEN and a.dtype != jnp.float32:
+    if widen and a.dtype != jnp.float32:
         a = a.astype(jnp.float32)
     return a
 
@@ -345,13 +355,13 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            _dop(a, ddt), _dop(bmat, ddt), (((1,), (0,)), ((), ())),
+            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dotg(w, a3):  # 'jc,cbn->jbn'
         return jax.lax.dot_general(
-            _dop(w, ddt), _dop(a3, ddt), (((1,), (0,)), ((), ())),
+            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -461,7 +471,7 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
     c_h = x3.shape[0]
     hcn = jnp.transpose(x3, (0, 2, 1)).reshape(c_h * N_PAD, bb)
     z = jax.lax.dot_general(
-        _dop(hcn, ddt), _dop(wp_ref[:], ddt), (((0,), (0,)), ((), ())),
+        _dop(hcn, dtype), _dop(wp_ref[:], dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     z_ref[:] = z + bp_ref[:]
@@ -495,29 +505,12 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
 
     i = pl.program_id(0)
     ddt, sdt = _parse_dtype(dtype)
-    cnt = bb * n_valid
-    npad_cnt = float(bb * (N_PAD - n_valid))
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            _dop(a, ddt), _dop(bmat, ddt), (((1,), (0,)), ((), ())),
+            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    def dot0(a, bmat):  # contract dim 0 x dim 0 (lhsT form)
-        return jax.lax.dot_general(
-            _dop(a, dtype), _dop(bmat, dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def dotg(w, a3):  # 'jc,cbn->jbn'
-        return jax.lax.dot_general(
-            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def bcast(v):  # [C, 1] -> [C, 1, 1] broadcastable over (bb, N)
-        return v[:, None, :]
 
     def accum(ref, val):
         @pl.when(i == 0)
@@ -579,19 +572,19 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
 
     def dot(a, bmat):
         return jax.lax.dot_general(
-            _dop(a, ddt), _dop(bmat, ddt), (((1,), (0,)), ((), ())),
+            _dop(a, dtype), _dop(bmat, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dot0(a, bmat):  # contract dim 0 x dim 0 (lhsT form)
         return jax.lax.dot_general(
-            _dop(a, ddt), _dop(bmat, ddt), (((0,), (0,)), ((), ())),
+            _dop(a, dtype), _dop(bmat, dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dotg(w, a3):  # 'jc,cbn->jbn'
         return jax.lax.dot_general(
-            _dop(w, ddt), _dop(a3, ddt), (((1,), (0,)), ((), ())),
+            _dop(w, dtype), _dop(a3, dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -722,7 +715,7 @@ def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
         c_h * N_PAD, bb
     )
     dwp = jax.lax.dot_general(
-        _dop(hcn, ddt), _dop(dz, ddt), (((1,), (0,)), ((), ())),
+        _dop(hcn, dtype), _dop(dz, dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -737,7 +730,7 @@ def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
         dbp_ref[:] = dbp_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
 
     dh_cn = jax.lax.dot_general(
-        _dop(wp_ref[:], ddt), _dop(dz.T, ddt), (((1,), (0,)), ((), ())),
+        _dop(wp_ref[:], dtype), _dop(dz.T, dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [C_h*N, bb] f32 (boundary arrays stay f32 — see _fwd_kernel note)
     dy_ref[:] = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))
@@ -834,11 +827,9 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
             out_specs.append(pl.BlockSpec((8, c_out), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM))
 
-    global _INTERPRET_DOTS_WIDEN
-    _INTERPRET_DOTS_WIDEN = bool(interpret)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers, bb, n_valid, res_identity,
-                          dtype, save_acts),
+                          _widen_dtype(dtype, interpret), save_acts),
         grid=(n_blocks,),
         out_shape=tuple(out_shapes),
         in_specs=[
@@ -877,8 +868,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
     n_layers = len(ops.layers)
     latent = ops.wp.shape[1]
 
-    global _INTERPRET_DOTS_WIDEN
-    _INTERPRET_DOTS_WIDEN = bool(interpret)
+    kdt = _widen_dtype(dtype, interpret)
 
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
@@ -895,7 +885,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
 
     c_h = ops.layers[-1].wt.shape[0]
     dwp, dbp, dy = pl.pallas_call(
-        functools.partial(_proj_bwd_kernel, bb, dtype),
+        functools.partial(_proj_bwd_kernel, bb, kdt),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct(ops.wp.shape, jnp.float32),
@@ -938,7 +928,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         out_specs += [act_spec(c_in), pad_spec_c(c_in)]
         outs = pl.pallas_call(
             functools.partial(_layer_bwd_kernel, bb, n_valid,
-                              res_identity[l], dtype),
+                              res_identity[l], kdt),
             grid=(n_blocks,),
             out_shape=tuple(out_shapes),
             in_specs=[
@@ -979,11 +969,9 @@ def _bwd_pallas(x_t, dz, ops: EncoderOps, n_valid, ghost_size, res_identity,
         out_specs.append(_full_spec(a.shape))
 
     latent = ops.wp.shape[1]
-    global _INTERPRET_DOTS_WIDEN
-    _INTERPRET_DOTS_WIDEN = bool(interpret)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_layers, bb, n_valid, res_identity,
-                          dtype),
+                          _widen_dtype(dtype, interpret)),
         grid=(n_blocks,),
         out_shape=tuple(out_shapes),
         in_specs=[
@@ -1086,6 +1074,11 @@ def fused_stse_apply(
     exact full-global-batch moments.
     """
     b = x.shape[0]
+    # The custom VJP returns a ZERO cotangent for the input (windows are
+    # gathered data, never a function of trainable parameters). stop_gradient
+    # makes that explicit at the API boundary: differentiable computation
+    # upstream of x would otherwise silently receive zeros.
+    x = jax.lax.stop_gradient(x)
     if impl == "reference":
         z, layer_sums = ghost_encode_reference(params, x, ghost_size)
         layer_sums = [

@@ -132,6 +132,8 @@ def evaluate_windows(
 
             if len(meta_sc) == 0:
                 # No detected person at all: the clip scores 0 everywhere.
+                fig_ids = np.zeros((0,), np.int64)
+                per_actor_raw = np.zeros((1, n_frames))
                 clip_score = np.zeros(n_frames)
             else:
                 fig_ids = np.unique(meta_sc[:, 2])
@@ -139,6 +141,11 @@ def evaluate_windows(
                 per_actor = actor_frame_scores(
                     scores_sc, dense, frames_sc, n_frames, len(fig_ids)
                 )
+                # Raw (pre-pad) per-person scores: the notebook's
+                # error_per_person dumps are the raw scatter output, before
+                # the pad_scores zeroing pass (visualize.ipynb reads them to
+                # re-apply shift+smoothing itself).
+                per_actor_raw = per_actor
                 if cfg.pad_size != -1:
                     per_actor = np.stack(
                         [pad_scores(row, n_frames, cfg.pad_size) for row in per_actor]
@@ -150,12 +157,18 @@ def evaluate_windows(
 
                 os.makedirs(os.path.join(save_scores_dir, "gt_masks"),
                             exist_ok=True)
-                epp = (per_actor if len(meta_sc) else
-                       np.zeros((1, n_frames)))
                 np.save(os.path.join(
                     save_scores_dir,
                     f"error_per_person_scene_{scene_idx}_scenario_{clip_idx}.npy",
-                ), epp)
+                ), per_actor_raw)
+                # Row->actor map for the epp matrix: only actors that
+                # produced windows get a row, and the viewer cannot infer
+                # that set from the clip JSON (short trajectories yield no
+                # windows). Columns are absolute 0-based frame indices.
+                np.save(os.path.join(
+                    save_scores_dir,
+                    f"fig_ids_scene_{scene_idx}_scenario_{clip_idx}.npy",
+                ), fig_ids)
                 np.save(os.path.join(
                     save_scores_dir, "gt_masks",
                     f"scene_{scene_idx}_scenario_{clip_idx}.npy"), gt)

@@ -20,7 +20,6 @@ from dataclasses import asdict
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
@@ -117,13 +116,9 @@ class AnomalyScorer:
             num_transform=1,
         )
         data = self.trainer._device_data(ds)
-        z = self.trainer.embed_all(self.state, ds, data)
-        return np.asarray(
-            self.trainer._score_fn(
-                jnp.asarray(z), self.state.center, self.state.inv_cov,
-                self.state.mean_vector,
-            )
-        )[:n]
+        # One scanned dispatch: embed + variant distance fused (score_all).
+        scores, _rec = self.trainer.score_all(self.state, ds, data)
+        return scores[:n]
 
     def score_clip_json(
         self, path: str, n_frames: Optional[int] = None, smooth: bool = True

@@ -131,6 +131,11 @@ class Trainer:
         self._embed_step = jax.jit(self._embed_step_impl)
         self._embed_many = jax.jit(self._embed_many_impl)
         self._score_fn = jax.jit(self._score_impl)
+        # Fused scoring program: gather + eval forward + variant score for
+        # [K, B] index chunks in ONE dispatch (remote TPU dispatch costs
+        # 15-77 ms; the old embed-then-score pair paid it twice and
+        # round-tripped latents through the host).
+        self._score_many = jax.jit(self._score_many_impl)
         # Persistent shuffle stream: repeated fit(state, epochs=1) calls (the
         # CLI's per-epoch checkpoint loop) must not replay the same
         # permutation.
@@ -392,6 +397,27 @@ class Trainer:
     def _score_impl(self, z, center, inv_cov, mean_vector) -> jax.Array:
         return objectives.window_scores(self.cfg, z, center, inv_cov, mean_vector)
 
+    def _score_many_impl(self, params, batch_stats, data, indices, rng,
+                         center, inv_cov, mean_vector):
+        """Scan (gather + eval forward + window score) over [K, B] chunks ->
+        ([K, B] scores, [K, B] rec errors). The scoring analogue of
+        _embed_many with the distance fused into the scanned body, so a full
+        scoring pass is one device dispatch and latents never leave HBM.
+        Matches the reference's predict-then-score split
+        (eval_COSKAD.py:115-116 + windows_based_loss_*) semantically."""
+
+        def body(i, idx):
+            z, rec = self._embed_step_impl(
+                params, batch_stats, data, idx, jax.random.fold_in(rng, i)
+            )
+            s = objectives.window_scores(
+                self.cfg, z, center, inv_cov, mean_vector
+            )
+            return i + 1, (s, rec)
+
+        _, (scores, recs) = jax.lax.scan(body, 0, indices)
+        return scores, recs
+
     # ------------------------------------------------------------ embedding
 
     def embed_all(
@@ -417,6 +443,29 @@ class Trainer:
         if return_rec:
             return z, np.asarray(recs).reshape(k * bs)[:n]
         return z
+
+    def score_all(self, state: TrainState, ds: SegmentDataset, data):
+        """Anomaly scores (and reconstruction errors) for every (window x
+        transform) item in ONE scanned device dispatch (embed + variant
+        distance fused — see _score_many_impl). Returns ([N] scores,
+        [N] rec errors) as numpy."""
+        n = len(ds)
+        bs = self.batch_size
+        k = (n + bs - 1) // bs
+        idx = (np.arange(k * bs) % n).reshape(k, bs)
+        idx_dev = jax.device_put(
+            jnp.asarray(idx),
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
+            ),
+        )
+        rng = jax.random.fold_in(state.rng, 7)
+        scores, recs = self._score_many(
+            state.params, state.batch_stats, data, idx_dev, rng,
+            state.center, state.inv_cov, state.mean_vector,
+        )
+        return (np.asarray(scores).reshape(k * bs)[:n],
+                np.asarray(recs).reshape(k * bs)[:n])
 
     # ------------------------------------------------------------ center init
 
@@ -480,7 +529,7 @@ class Trainer:
     def validate(self, state: TrainState) -> Optional[EvalResult]:
         if self.val_ds is None or not self.ground_truths:
             return None
-        z, rec = self.embed_all(state, self.val_ds, self.val_data, return_rec=True)
+        scores, rec = self.score_all(state, self.val_ds, self.val_data)
         if self.cfg.model.variant == "autoencoder":
             # The reference's in-training AE validation scores windows by
             # reconstruction MSE (windows_based_loss_rec_and_hy with its
@@ -488,12 +537,6 @@ class Trainer:
             # offline eval scores by latent distance (rec_loss_weight=0 ->
             # 'hyp', eval_COSKAD.py:66-69). Both behaviours are preserved.
             scores = rec
-        else:
-            scores = np.asarray(
-                self._score_fn(
-                    jnp.asarray(z), state.center, state.inv_cov, state.mean_vector
-                )
-            )
         k = max(self.cfg.data.num_transform, 1)
         nw = self.val_ds.num_windows
         trans = np.repeat(np.arange(k), nw)

@@ -45,10 +45,11 @@ def clip_label(clip_json: str) -> str:
 
 def load_clip_scores(clip_json: str, scores_dir: str):
     """Per-frame per-person scores for one clip from an `eval --save-scores`
-    dump: reads error_per_person_scene_{S}_scenario_{C}.npy (rows follow
-    sorted person ids — the eval aggregation's fig_ids order) and maps
-    columns to the clip's frame keys. Returns {frame_key: {pid: score}} or
-    None when no matching npy exists."""
+    dump: reads error_per_person_scene_{S}_scenario_{C}.npy ([P, F] — rows
+    follow the eval aggregation's fig_ids = actors that actually produced
+    windows, columns are absolute 0-based frame indices, i.e. frame_key-1)
+    plus the sibling fig_ids_*.npy row map. Returns {frame_key: {pid:
+    score}} or None when no matching npy exists."""
     import re
 
     import numpy as np
@@ -56,20 +57,29 @@ def load_clip_scores(clip_json: str, scores_dir: str):
     m = re.match(r"(\d+)_(\d+)", clip_label(clip_json))
     if not m:
         return None
-    path = os.path.join(
-        scores_dir,
-        f"error_per_person_scene_{int(m.group(1))}_scenario_"
-        f"{int(m.group(2))}.npy")
+    stem = f"scene_{int(m.group(1))}_scenario_{int(m.group(2))}.npy"
+    path = os.path.join(scores_dir, f"error_per_person_{stem}")
     if not os.path.exists(path):
         return None
     epp = np.load(path)  # [P, F]
+    fid_path = os.path.join(scores_dir, f"fig_ids_{stem}")
     vis = ClipVisualizer()
     vis.load_clip_json(clip_json)
     keys = vis.frame_keys()
-    pids = sorted({pid for k in keys for pid in vis.actors_in_frame(k)},
-                  key=lambda p: int(p))
+    if os.path.exists(fid_path):
+        pids = [str(int(p)) for p in np.load(fid_path)]
+    else:
+        # Older dumps without the row map: best-effort sorted-person order
+        # (fig_ids is np.unique of the person ids, i.e. sorted); actors too
+        # short to produce windows are not distinguishable here.
+        pids = sorted({pid for k in keys for pid in vis.actors_in_frame(k)},
+                      key=lambda p: int(p))
     out = {}
-    for col, key in enumerate(keys[: epp.shape[1]]):
+    for key in keys:
+        # epp columns are scattered by 1-based frame id (actor_frame_scores)
+        col = int(key) - 1
+        if not (0 <= col < epp.shape[1]):
+            continue
         out[key] = {pid: float(epp[row, col])
                     for row, pid in enumerate(pids) if row < epp.shape[0]}
     return out

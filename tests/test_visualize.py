@@ -237,9 +237,21 @@ def test_viz_app_score_overlay(tmp_path, rng):
                           str(scores_dir))
     keys = sorted(fs.keys())
     assert len(keys) == 4
-    # person "1" is row 0, person "2" row 1; column = frame position
+    # person "1" is row 0, person "2" row 1; column = int(frame key) - 1
+    # (epp columns are absolute 0-based frame indices)
     assert fs[keys[0]] == {"1": 0.0, "2": 4.0}
     assert fs[keys[3]] == {"1": 3.0, "2": 7.0}
+    # with a fig_ids row map (what eval --save-scores now dumps), rows
+    # follow it — including when only a subset of actors produced windows
+    np.save(scores_dir / "fig_ids_scene_1_scenario_2.npy",
+            np.array([2], dtype=np.int64))
+    np.save(scores_dir / "error_per_person_scene_1_scenario_2.npy",
+            epp[:1])
+    fs = load_clip_scores(str(flat / "01_0002_tracked.json"),
+                          str(scores_dir))
+    assert fs[keys[0]] == {"2": 0.0}
+    np.save(scores_dir / "error_per_person_scene_1_scenario_2.npy", epp)
+    (scores_dir / "fig_ids_scene_1_scenario_2.npy").unlink()
     # no npy for this clip -> None
     with open(flat / "09_0009_tracked.json", "w") as f:
         json.dump(clip, f)
