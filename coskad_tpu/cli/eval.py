@@ -86,18 +86,16 @@ def main(argv=None):
         else:  # rec+hyp
             scores = rec / args.rec_weight + scores
     k = max(cfg.data.num_transform, 1)
-    nw = test_ds.num_windows
-    trans = np.repeat(np.arange(k), nw)
-    meta = np.tile(test_ds.meta, (k, 1))
-    frames = np.tile(test_ds.frame_ids, (k, 1))
 
     hr_masks = {}
     if cfg.eval.use_hr and cfg.eval.hr_masks_glob:
         hr_masks = hr_ubnormal(cfg.eval.hr_masks_glob)
     avenue = AVENUE_MASKED_CLIPS if cfg.data.dataset_choice == "HR-Avenue" else {}
 
+    # Shared-meta form (metadata identical across transforms, scores
+    # transform-major) — one sort/gather of the NW base rows.
     result = evaluate_windows(
-        scores, trans, meta, frames, gts,
+        scores, None, test_ds.meta, test_ds.frame_ids, gts,
         ScoringConfig(num_transform=k, pad_size=cfg.eval.pad_size),
         hr_clip_masks=hr_masks, avenue_clip_masks=avenue,
         save_scores_dir=args.save_scores,

@@ -67,10 +67,19 @@ def evaluate_windows(
     """Aggregate per-window anomaly scores into a frame-level AUC.
 
     Args:
-        window_scores: [N] scalar anomaly score per (window, transform) item.
+        window_scores: [N] scalar anomaly score per (window, transform) item,
+            transform-major (item i = window i % NW of transform i // NW).
         trans: [N] transform index per item.
-        meta: [N, 4] (scene_id, clip_id, person_id, start_frame).
-        frame_ids: [N, T] actual frame keys covered by each window.
+        meta: [N, 4] (scene_id, clip_id, person_id, start_frame) — or
+            [NW, 4] with NW = N / num_transform, shared across transforms
+            (what the CLI/validation call sites have: the reference expands
+            the dataset 5x with identical metadata per transform,
+            utils/dataset.py:65-80; passing the base array skips re-sorting
+            and re-gathering identical rows num_transform times, the
+            dominant host cost at UBnormal scale). With shared meta, trans
+            may be None.
+        frame_ids: [N, T] actual frame keys covered by each window ([NW, T]
+            in the shared-meta form).
         ground_truths: {(scene, clip): [n_frames] binary labels}, iterated in
             sorted key order like the reference's sorted gt-file listing.
         cfg: scoring configuration.
@@ -83,7 +92,6 @@ def evaluate_windows(
             scene_{s}_scenario_{c}.npy`) for plot_person_scores et al.
     """
     window_scores = np.asarray(window_scores)
-    trans = np.asarray(trans)
     meta = np.asarray(meta)
     frame_ids = np.asarray(frame_ids)
     hr_clip_masks = hr_clip_masks or {}
@@ -96,14 +104,24 @@ def evaluate_windows(
     per_clip_auc: Dict[Tuple[int, int], float] = {}
     per_clip_auc_all: Dict[Tuple[int, int, int], float] = {}
 
-    # One lexicographic sort by (transform, scene, clip) replaces
-    # num_transform * num_clips full-array boolean masks (O(T*C*N) -> O(N
-    # log N)); per-group rows are then contiguous slices via searchsorted.
-    order = np.lexsort((meta[:, 1], meta[:, 0], trans))
-    trans_s = trans[order]
+    # Shared-meta fast path: metadata identical across transforms -> sort
+    # and gather the NW base rows once instead of num_transform times.
+    n_items = len(window_scores)
+    nw = n_items // max(cfg.num_transform, 1)
+    shared = len(meta) == nw and (cfg.num_transform == 1 or nw != n_items)
+    if shared:
+        order = np.lexsort((meta[:, 1], meta[:, 0]))
+        trans_s = None
+    else:
+        trans = np.asarray(trans)
+        # One lexicographic sort by (transform, scene, clip) replaces
+        # num_transform * num_clips full-array boolean masks (O(T*C*N) ->
+        # O(N log N)); per-group rows are contiguous searchsorted slices.
+        order = np.lexsort((meta[:, 1], meta[:, 0], trans))
+        trans_s = trans[order]
     meta_s = meta[order]
-    scores_s = window_scores[order]
     frames_s = frame_ids[order]
+    scores_s = None if shared else window_scores[order]
     # Composite sort key for range lookup. Multipliers must cover the ids in
     # BOTH meta and the ground-truth keys: a gt clip with no detections and a
     # larger id than any detected clip would otherwise collide with another
@@ -115,7 +133,9 @@ def evaluate_windows(
         max_clip = max(max_clip, max(k[1] for k in clip_keys))
     scene_mult = max(max_clip, 0) + 1
     trans_mult = (max(max_scene, 0) + 1) * scene_mult
-    key_s = trans_s * trans_mult + meta_s[:, 0] * scene_mult + meta_s[:, 1]
+    key_s = meta_s[:, 0] * scene_mult + meta_s[:, 1]
+    if not shared:
+        key_s = key_s + trans_s * trans_mult
 
     for transformation in range(cfg.num_transform):
         clip_scores_list: List[np.ndarray] = []
@@ -123,12 +143,17 @@ def evaluate_windows(
         for scene_idx, clip_idx in clip_keys:
             gt = np.asarray(ground_truths[(scene_idx, clip_idx)])
             n_frames = gt.shape[0]
-            key = transformation * trans_mult + scene_idx * scene_mult + clip_idx
+            key = scene_idx * scene_mult + clip_idx
+            if not shared:
+                key = key + transformation * trans_mult
             lo = np.searchsorted(key_s, key, side="left")
             hi = np.searchsorted(key_s, key, side="right")
             meta_sc = meta_s[lo:hi]
-            scores_sc = scores_s[lo:hi]
             frames_sc = frames_s[lo:hi]
+            if shared:
+                scores_sc = window_scores[transformation * nw + order[lo:hi]]
+            else:
+                scores_sc = scores_s[lo:hi]
 
             if len(meta_sc) == 0:
                 # No detected person at all: the clip scores 0 everywhere.

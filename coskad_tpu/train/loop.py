@@ -538,18 +538,16 @@ class Trainer:
             # 'hyp', eval_COSKAD.py:66-69). Both behaviours are preserved.
             scores = rec
         k = max(self.cfg.data.num_transform, 1)
-        nw = self.val_ds.num_windows
-        trans = np.repeat(np.arange(k), nw)
-        meta = np.tile(self.val_ds.meta, (k, 1))
-        frames = np.tile(self.val_ds.frame_ids, (k, 1))
         avenue_masks = (
             AVENUE_MASKED_CLIPS if self.cfg.data.dataset_choice == "HR-Avenue" else {}
         )
+        # Shared-meta form: metadata is identical across the k transforms
+        # (scores are transform-major), so pass the base arrays once.
         return evaluate_windows(
             scores,
-            trans,
-            meta,
-            frames,
+            None,
+            self.val_ds.meta,
+            self.val_ds.frame_ids,
             self.ground_truths,
             ScoringConfig(num_transform=k, pad_size=self.cfg.eval.pad_size),
             avenue_clip_masks=avenue_masks,

@@ -317,3 +317,38 @@ def test_evaluate_windows_matches_naive_masks(seed):
                                  hr, avenue)
     np.testing.assert_array_equal(res.scores, want_scores)
     np.testing.assert_array_equal(res.gt, want_gt)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_evaluate_windows_shared_meta_matches_tiled(seed):
+    """The shared-meta fast path (base [NW] meta/frames + transform-major
+    scores, what the CLI/validate call sites pass) is byte-identical to the
+    general tiled form, including per-clip AUCs."""
+    rng = np.random.default_rng(seed)
+    t, num_t = 8, 3
+    clip_keys = [(1, 1), (1, 2), (3, 4)]
+    gts, rows = {}, []
+    for s, c in clip_keys:
+        nf = int(rng.integers(120, 200))
+        gt = np.zeros(nf, dtype=int)
+        gt[30:70] = 1
+        gts[(s, c)] = gt
+        for actor in range(int(rng.integers(1, 4))):
+            for st in range(1, nf - t, 3):
+                rows.append((s, c, actor, st))
+    meta_b = np.array([[r[0], r[1], r[2], r[3]] for r in rows])
+    frames_b = np.array([np.arange(r[3], r[3] + t) for r in rows])
+    nw = len(rows)
+    scores = rng.random(nw * num_t) + 0.01
+    cfg = aggregate.ScoringConfig(num_transform=num_t, pad_size=3)
+
+    tiled = aggregate.evaluate_windows(
+        scores, np.repeat(np.arange(num_t), nw),
+        np.tile(meta_b, (num_t, 1)), np.tile(frames_b, (num_t, 1)),
+        gts, cfg)
+    shared = aggregate.evaluate_windows(
+        scores, None, meta_b, frames_b, gts, cfg)
+    np.testing.assert_array_equal(tiled.scores, shared.scores)
+    np.testing.assert_array_equal(tiled.gt, shared.gt)
+    assert tiled.per_clip_auc_all == shared.per_clip_auc_all
+    assert tiled.per_transform_auc == shared.per_transform_auc
