@@ -322,29 +322,30 @@ def _colprod32(a3, b3):
     ).reshape(-1, 1)
 
 
-def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
+def _layer_fwd(x3, refs, bb, n_valid, res_identity,
                dtype=jnp.float32, need_y=True):
     """One ST-GCNN layer on a 3D [C_in, bb, N_PAD] activation.
 
     TPU layout strategy (measured, see module docstring): every reshape used
     here is a free major-axis merge/split (tiles never move); the dense is a
-    2Dx3D dot ('jc,cbn->jbn', same cost as the 2D form); and there are NO
-    masking passes — the zero-padded node columns hold per-channel CONSTANTS
-    (tracked analytically in `kpad` [C_in, 1]), so valid-only statistics are
-    full-array reductions plus O(C) corrections.
+    2Dx3D dot ('jc,cbn->jbn', same cost as the 2D form).
 
-    Invariants making that exact: the graph matrix has zero pad rows/cols,
-    so g3's pad columns are exactly 0 and t3's pad value is exactly the tcn
-    bias; the residual branch's pad value is Wres @ kpad + b_res.
+    Pad handling (the v4 "lean" scheme): inputs carry the invariant that
+    their pad columns are EXACTLY ZERO (the wrapper zero-pads x; each layer
+    re-establishes it by masking the PReLU output — one iota-select fused
+    into the activation write). Consequences used throughout: the graph
+    matrix has zero pad rows/cols so g3's pads are exactly 0 and t3's pad
+    value is exactly the tcn bias; the residual branch's pad value is b_res;
+    and every backward reduction against dy/dpre (whose pads are zero) is
+    valid-exact with no analytic corrections.
 
     Large intermediates (g3, t3, r3, pre3) are stored in `dtype` — at bf16
     this halves the VPU/VMEM bytes of every elementwise pass, the dominant
     cost of the fused step. Per-channel statistics are still accumulated in
     fp32 (reductions upcast in-flight, which costs compute, not bandwidth).
 
-    Returns (y3, kpad_next, internals) with internals = (g3, t3, t_mean,
-    t_inv_std, r3, r_mean, r_inv_std, r_pad, scale_t, shift_t, scale_r,
-    shift_r, pre3, pre_pad, sums4).
+    Returns (y3, internals) with internals = (g3, t3, t_mean, t_inv_std,
+    r3, r_mean, r_inv_std, scale_t, shift_t, scale_r, shift_r, pre3, sums4).
     """
     (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = refs
     ddt, sdt = _parse_dtype(dtype)
@@ -381,7 +382,6 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
 
     if res_identity:
         r3 = x3
-        r_pad = kpad
         r_mean = jnp.zeros((c_out, 1), jnp.float32)
         r_inv_std = jnp.ones((c_out, 1), jnp.float32)
         scale_r = jnp.ones((c_out, 1), jnp.float32)
@@ -390,7 +390,7 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
         r_sumsq = jnp.zeros((c_out, 1), jnp.float32)
     else:
         r3 = (dotg(wt_res[:], x3) + b_res[:][:, None, :]).astype(sdt)
-        r_pad = dot(wt_res[:], kpad) + b_res[:]
+        r_pad = b_res[:]  # x3 pads are zero
         r_sum = _colsum32(r3) - npad_cnt * r_pad
         r_sumsq = _colsumsq32(r3) - npad_cnt * r_pad * r_pad
         r_mean = r_sum / cnt
@@ -405,15 +405,22 @@ def _layer_fwd(x3, kpad, refs, bb, n_valid, res_identity,
     shr = shift_r.astype(sdt)[:, None, :]
     pre3 = (t3 * st + sht + r3 * sr + shr).astype(sdt)
     alpha_d = alpha[0, 0].astype(sdt)
-    # need_y=False (the backward recompute): the PReLU output pass is
-    # skipped — the backward only consumes pre3 and the branch internals
-    y3 = (jnp.where(pre3 >= 0, pre3, alpha_d * pre3).astype(sdt)
-          if need_y else None)
-    pre_pad = t_pad * scale_t + shift_t + r_pad * scale_r + shift_r
-    kpad_next = jnp.where(pre_pad >= 0, pre_pad, alpha[0, 0] * pre_pad)
-    return y3, kpad_next, (
-        g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
-        scale_t, shift_t, scale_r, shift_r, pre3, pre_pad,
+    # need_y=False: the PReLU output pass is skipped (callers that only
+    # need the internals). The pad-column mask re-establishes the zero-pad
+    # invariant for the next layer / the stored activation (pre3's pads are
+    # per-channel constants from the BN shifts).
+    if need_y:
+        nmask = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, N_PAD), 2
+        ) < n_valid
+        y3 = jnp.where(
+            nmask, jnp.where(pre3 >= 0, pre3, alpha_d * pre3), 0
+        ).astype(sdt)
+    else:
+        y3 = None
+    return y3, (
+        g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std,
+        scale_t, shift_t, scale_r, shift_r, pre3,
         (t_sum, t_sumsq, r_sum, r_sumsq),
     )
 
@@ -422,8 +429,10 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
                 *refs):
     """refs = x_ref, (10 per layer), wp, bp, then outputs:
     z_ref, (t_sum, t_sumsq, r_sum, r_sumsq) per layer; with save_acts also
-    each layer's output activation block [C_out, bb, N] and post-layer
-    pad-constant [C_out, 1] (residuals for the split backward)."""
+    each layer's output activation block [C_out, bb, N] (pad columns zero)
+    and the layer's per-ghost-block BN statistics (t_mean, t_inv_std,
+    r_mean, r_inv_std) as (8, C_out) rows — the residuals the split
+    backward reads so it never recomputes statistics."""
     x_ref = refs[0]
     w_refs = refs[1 : 1 + N_LAYER_OPS * n_layers]
     wp_ref, bp_ref = refs[1 + N_LAYER_OPS * n_layers : 3 + N_LAYER_OPS * n_layers]
@@ -434,13 +443,11 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
 
     i = pl.program_id(0)
     ddt, sdt = _parse_dtype(dtype)
-    c_in = x_ref.shape[0]
     x3 = x_ref[:].astype(sdt)
-    kpad = jnp.zeros((c_in, 1), jnp.float32)
     for l in range(n_layers):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
-        x3, kpad, internals = _layer_fwd(
-            x3, kpad, lrefs, bb, n_valid, res_identity[l], dtype
+        x3, internals = _layer_fwd(
+            x3, lrefs, bb, n_valid, res_identity[l], dtype
         )
         if save_acts:
             # boundary activations stored f32 regardless of compute dtype:
@@ -448,14 +455,17 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
             # Mosaic compile (probed 2026-08-17; plain bf16 compute with
             # f32 outputs compiles fine)
             act_refs[l][:] = x3.astype(jnp.float32)
-            # per-block pad constants, one (8, C) block per grid step (the
-            # value replicated over the 8 sublanes): the smallest block
-            # Mosaic's (8, 128)-divisibility rule allows without dynamic
-            # stores
-            kref = act_refs[n_layers + l]
-            kref[:] = jnp.broadcast_to(
-                jnp.transpose(kpad, (1, 0)), kref.shape
+            # per-block BN stats, one (8, C) block per grid step (the value
+            # replicated over the 8 sublanes): the smallest block Mosaic's
+            # (8, 128)-divisibility rule allows without dynamic stores
+            t_mean, t_inv, r_mean, r_inv = (
+                internals[2], internals[3], internals[5], internals[6]
             )
+            for k, v in enumerate((t_mean, t_inv, r_mean, r_inv)):
+                bref = act_refs[n_layers + 4 * l + k]
+                bref[:] = jnp.broadcast_to(
+                    jnp.transpose(v, (1, 0)), bref.shape
+                )
         sums = internals[-1]
         for k in range(4):
             ref = stat_refs[4 * l + k]
@@ -478,26 +488,12 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
 
 
 def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
-    """refs = x_ref, dz_ref, (10 weights per layer), wp, then outputs:
-    (dm, dwt, db, dgamma, dbeta, dwt_res, db_res, dgamma_res, dbeta_res,
-     dalpha) per layer, dwp, dbp. Rematerializes the forward in VMEM; the
-    pad-column garbage this backward tolerates (see _layer_fwd) lands only
-    in dM/dWp rows and columns that the wrapper's jnp.pad cotangent slices
-    away, and the valid-only reductions use the analytic pad-constant
-    corrections instead of masking passes.
-
-    Performance shape (the v2 kernel was 12+ ms because every BN-backward
-    materialized its d3 array and ran ~25 fp32 elementwise passes per
-    layer): the BN backward here is an AFFINE map d3 = a*dpre + b*raw + c
-    with per-channel scalars, so it is FOLDED into the consumers instead of
-    materialized —
-      dW   = a*(dpre @ rawT_in) + b*(raw @ rawT_in) + c*colsum(raw_in)^T
-      dx   = (W*a)^T @ dpre + (W*b)^T @ raw + W^T @ c
-      db   = a*s1 + b*raw_sum + c*cnt                      (O(C), no pass)
-    which trades big-array passes for extra small matmuls on the otherwise
-    idle MXU. Remaining big-array passes per layer: the PReLU mask/dpre,
-    dalpha product, two stat products (s2), and the two masked copies for
-    dWres."""
+    """Mono backward: refs = x_ref, dz_ref, (10 weights per layer), wp, then
+    outputs: (dm, dwt, db, dgamma, dbeta, dwt_res, db_res, dgamma_res,
+    dbeta_res, dalpha) per layer, dwp, dbp. Rematerializes the forward once
+    in VMEM (keeping layer inputs + the tiny per-block BN stats), then runs
+    the same lean per-layer backward the split kernels use — no statistic
+    recomputation in the sweep."""
     x_ref, dz_ref = refs[0], refs[1]
     w_refs = refs[2 : 2 + N_LAYER_OPS * n_layers]
     wp_ref = refs[2 + N_LAYER_OPS * n_layers]
@@ -521,17 +517,17 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
         def _():
             ref[:] = ref[:] + val
 
-    # ---- forward remat, saving layer inputs (the only stored activations)
-    c_in0 = x_ref.shape[0]
+    # ---- forward remat, keeping layer inputs + per-block stats
     x_in = [x_ref[:].astype(sdt)]
-    kpads = [jnp.zeros((c_in0, 1), jnp.float32)]
+    stats_l = []
     for l in range(n_layers):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
-        y, kp, _internals = _layer_fwd(
-            x_in[-1], kpads[-1], lrefs, bb, n_valid, res_identity[l], dtype
+        y, internals = _layer_fwd(
+            x_in[-1], lrefs, bb, n_valid, res_identity[l], dtype
         )
         x_in.append(y)
-        kpads.append(kp)
+        stats_l.append((internals[2], internals[3],
+                        internals[5], internals[6]))
 
     # ---- projector backward
     c_h = x_in[-1].shape[0]
@@ -544,31 +540,39 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     )  # dbp [1, L]
     dh_cn = dot(wp_ref[:], dz.T).astype(sdt)  # [C_h*N, bb]
     dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))  # [C_h,bb,N]
-    dy_pad = jnp.zeros((c_h, 1), jnp.float32)  # wp pad rows are zero
+    # wp pad rows are zero -> dy pad columns are exactly zero (invariant the
+    # lean body relies on)
 
-    # ---- layer backward sweep (recompute per-layer internals from x_in)
+    # ---- layer backward sweep
     for l in reversed(range(n_layers)):
         lrefs = w_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
         out10 = out_refs[N_LAYER_OPS * l : N_LAYER_OPS * (l + 1)]
-        dy, dy_pad = _layer_bwd_body(
-            lrefs, x_in[l], kpads[l], dy, dy_pad, out10, accum,
+        dy = _layer_bwd_body(
+            lrefs, x_in[l], dy, stats_l[l], out10, accum,
             bb, n_valid, res_identity[l], dtype,
         )
 
 
-def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
+def _layer_bwd_body(lrefs, x3, dy, stats4, out10, accum,
                     bb, n_valid, res_id, dtype):
-    """One ST-GCNN layer's backward: recompute internals from the layer
-    input, fold the BN-backward affine into the consumers (see _bwd_kernel
-    docstring), accumulate the 10 weight grads into out10, and return
-    (dx3, dx_pad) for the layer below. Shared by the mono backward kernel
-    and the per-layer split kernels."""
+    """One ST-GCNN layer's lean backward: recompute the pre-BN activations
+    (g3/t3/r3/pre3 — four dots + one affine pass) from the layer input and
+    the forward-saved per-block BN statistics, fold the BN-backward affine
+    into the consumers, accumulate the 10 weight grads into out10, and
+    return dx3 for the layer below. Shared by the mono kernel and the
+    per-layer split kernels.
+
+    Invariants (see _layer_fwd): x3 and dy pad columns are exactly zero, so
+    every reduction is valid-exact with no analytic corrections, dWres needs
+    no masking passes, and the per-layer valid sums are analytic
+    (t_sum = cnt * t_mean). Eliminated vs the v3 body: 4 statistic
+    reduction passes, 2 masked copies, and all pad-constant bookkeeping."""
     (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = lrefs
     ddt, sdt = _parse_dtype(dtype)
     cnt = bb * n_valid
-    npad_cnt = float(bb * (N_PAD - n_valid))
     cols = bb * N_PAD
     c_in = x3.shape[0]
+    t_mean, t_inv_std, r_mean, r_inv_std = stats4  # [C_out, 1] f32 each
 
     def dot(a, bmat):
         return jax.lax.dot_general(
@@ -588,36 +592,42 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
             preferred_element_type=jnp.float32,
         )
 
-    def bcast(v):
-        return v[:, None, :]
+    # ---- recompute pre-BN activations (no statistics passes)
+    g3 = dot(x3.reshape(c_in * bb, N_PAD), m[:]).astype(sdt).reshape(
+        c_in, bb, N_PAD
+    )
+    t3 = (dotg(wt[:], g3) + b[:][:, None, :]).astype(sdt)
+    scale_t = gamma[:] * t_inv_std
+    shift_t = beta[:] - t_mean * scale_t
+    if res_id:
+        r3 = x3
+        scale_r = jnp.ones_like(scale_t)
+        shift_r = jnp.zeros_like(shift_t)
+    else:
+        r3 = (dotg(wt_res[:], x3) + b_res[:][:, None, :]).astype(sdt)
+        scale_r = gamma_res[:] * r_inv_std
+        shift_r = beta_res[:] - r_mean * scale_r
+    pre3 = (
+        t3 * scale_t.astype(sdt)[:, None, :]
+        + shift_t.astype(sdt)[:, None, :]
+        + r3 * scale_r.astype(sdt)[:, None, :]
+        + shift_r.astype(sdt)[:, None, :]
+    ).astype(sdt)
 
-    _y, _kp, (
-        g3, t3, t_mean, t_inv_std, r3, r_mean, r_inv_std, r_pad,
-        scale_t, shift_t, scale_r, shift_r, pre3, pre_pad, _sums,
-    ) = _layer_fwd(x3, kpad_l, lrefs, bb, n_valid, res_id, dtype,
-                   need_y=False)
-    t_sum, _t_sumsq, r_sum, _r_sumsq = _sums
-
-    # PReLU backward (pre3 comes from the recomputed internals)
-    neg = pre3 < 0
+    # PReLU backward; dy pads are zero so dpre pads are zero
     alpha_d = alpha[0, 0].astype(sdt)
-    dpre = jnp.where(neg, alpha_d * dy, dy).astype(sdt)
-    neg_pad = pre_pad < 0
-    dpre_pad = jnp.where(neg_pad, alpha[0, 0] * dy_pad, dy_pad)
+    dpre = jnp.where(pre3 < 0, alpha_d * dy, dy).astype(sdt)
     # dalpha = sum_neg dy*pre3 == sum dy*min(pre3, 0): the minimum fuses
     # into the product reduction (saves the separate where pass)
-    dalpha_all = _colprod32(dy, jnp.minimum(pre3, 0))
-    dalpha_pad = jnp.where(neg_pad, dy_pad * pre_pad, 0.0)
-    dalpha = jnp.sum(dalpha_all - npad_cnt * dalpha_pad).reshape(1, 1)
+    dalpha = jnp.sum(_colprod32(dy, jnp.minimum(pre3, 0))).reshape(1, 1)
     accum(out10[9], dalpha)
 
-    # shared across both BN branches
-    s1 = _colsum32(dpre) - npad_cnt * dpre_pad
+    s1 = _colsum32(dpre)
 
-    def bn_consts(pre_raw3, pad_raw, mean, inv_std, gam):
+    def bn_consts(pre_raw3, mean, inv_std, gam):
         """Per-channel affine constants of the ghost-BN backward:
         d_raw = a*dpre + b*pre_raw + c. Also returns (dgamma, dbeta)."""
-        s2 = _colprod32(dpre, pre_raw3) - npad_cnt * (dpre_pad * pad_raw)
+        s2 = _colprod32(dpre, pre_raw3)
         dbeta_ = s1
         dgamma_ = inv_std * (s2 - mean * s1)
         a_c = gam * inv_std
@@ -626,13 +636,11 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
         return a_c, b_c, c_c, dgamma_, dbeta_
 
     # ---- tcn branch: BN -> dense -> graph (affine folded)
-    a_t, b_t, c_t, dgamma, dbeta = bn_consts(
-        t3, b[:], t_mean, t_inv_std, gamma[:]
-    )
+    a_t, b_t, c_t, dgamma, dbeta = bn_consts(t3, t_mean, t_inv_std, gamma[:])
     accum(out10[3], dgamma)
     accum(out10[4], dbeta)
-    # db = sum_valid(d_t3) = a*s1 + b*t_sum + c*cnt — no array pass
-    accum(out10[2], a_t * s1 + b_t * t_sum + c_t * cnt)
+    # db = sum_valid(d_t3) = a*s1 + b*t_sum + c*cnt, t_sum = cnt*t_mean
+    accum(out10[2], a_t * s1 + b_t * (cnt * t_mean) + c_t * cnt)
     # dwt = a*(dpre@g3T) + b*(t3@g3T) + c (x) colsum(g3): g3's pad
     # columns are exactly zero, so full-array reductions need no mask
     g3t = dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
@@ -647,59 +655,51 @@ def _layer_bwd_body(lrefs, x3, kpad_l, dy, dy_pad, out10, accum,
     wt32 = wt[:].astype(jnp.float32)
     dg3 = (
         dotg((wt32 * a_t).T, dpre) + dotg((wt32 * b_t).T, t3)
-        + bcast(jnp.matmul(wt32.T, c_t))
+        + jnp.matmul(wt32.T, c_t)[:, None, :]
     ).astype(sdt)
     dgr = dg3.reshape(c_in * bb, N_PAD)
     accum(out10[0], dot0(x3.reshape(c_in * bb, N_PAD), dgr))
     # ^ dm [N, N] (pad rows/cols sliced by the wrapper)
     dx3 = dot(dgr, m[:].T).astype(sdt).reshape(c_in, bb, N_PAD)
-    # dg3's pad columns: g3 pads are zero, so d_t3 pads = a*dpre_pad +
-    # b*t_pad + c feed wt^T; the graph backward then zeroes them again
-    # (m pad rows are zero) — dx3 pad constant comes from the residual
-    # branch only.
-    dx_pad = jnp.zeros((c_in, 1), jnp.float32)
+    # dx3 pads: m pad rows are zero -> graph part pads exactly zero
 
     # ---- residual branch
     if res_id:
-        dx3 = dx3 + dpre
-        dx_pad = dx_pad + dpre_pad
+        dx3 = dx3 + dpre  # dpre pads zero -> invariant holds, no mask
         c_out = wt.shape[0]
         for k, shape in ((5, (c_out, c_in)), (6, (c_out, 1)),
                          (7, (c_out, 1)), (8, (c_out, 1))):
             accum(out10[k], jnp.zeros(shape, jnp.float32))
     else:
         a_r, b_r, c_r, dgamma_r, dbeta_r = bn_consts(
-            r3, r_pad, r_mean, r_inv_std, gamma_res[:]
+            r3, r_mean, r_inv_std, gamma_res[:]
         )
         accum(out10[7], dgamma_r)
         accum(out10[8], dbeta_r)
-        accum(out10[6], a_r * s1 + b_r * r_sum + c_r * cnt)
-        # dWres: x3's pad columns are NOT zero (per-channel constants),
-        # and subtracting their analytic contribution cancels
-        # catastrophically in fp32 — mask the two folded operands
-        # instead (the only masking passes in the whole backward).
-        nmask = jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, N_PAD), 2
-        ) < n_valid
+        accum(out10[6], a_r * s1 + b_r * (cnt * r_mean) + c_r * cnt)
+        # dWres: x3's pads are zero (forward invariant), so x3t's pad rows
+        # are zero and dpre/r3 need NO masking passes here — their pad
+        # contributions multiply zero rows.
         x3t = dot0(x3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
-        x3vsum = _colsum32(x3) - npad_cnt * kpad_l  # valid-only
+        x3vsum = _colsum32(x3)  # valid-exact: pads zero
         dwres = (
-            a_r * dot(jnp.where(nmask, dpre, 0).reshape(-1, cols), x3t)
-            + b_r * dot(jnp.where(nmask, r3, 0).reshape(-1, cols), x3t)
+            a_r * dot(dpre.reshape(-1, cols), x3t)
+            + b_r * dot(r3.reshape(-1, cols), x3t)
             + c_r * x3vsum.reshape(1, -1)
         )
         accum(out10[5], dwres)
-        # dx += Wres^T @ d_r3, folded with UNMASKED dpre/r3 so the
-        # array's pad columns stay equal to the analytic dx_pad
-        # constants the corrections rely on
         wr32 = wt_res[:].astype(jnp.float32)
         dx3 = dx3 + (
             dotg((wr32 * a_r).T, dpre) + dotg((wr32 * b_r).T, r3)
-            + bcast(jnp.matmul(wr32.T, c_r))
+            + jnp.matmul(wr32.T, c_r)[:, None, :]
         ).astype(sdt)
-        dr_pad = a_r * dpre_pad + b_r * r_pad + c_r
-        dx_pad = dx_pad + dot(wt_res[:].T, dr_pad)
-    return dx3, dx_pad
+        # b_r/c_r terms put per-channel constants in the pad columns;
+        # re-establish the zero-pad invariant for the layer below
+        nmask = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, N_PAD), 2
+        ) < n_valid
+        dx3 = jnp.where(nmask, dx3, 0).astype(sdt)
+    return dx3
 
 
 def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
@@ -738,14 +738,16 @@ def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
 
 def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
     """One layer's backward as its own kernel (split mode). refs =
-    x_ref [C_in, bb, N], dy_ref [C_out, bb, N], dy_pad_ref [G, C_out],
-    kpad_ref [G, C_in], 10 weights, then outputs: 10 grads (grid-
-    accumulated), dx_ref [C_in, bb, N], dx_pad_ref [G, C_in]. The pad
-    arrays hold one row per grid block (see pad_spec_c)."""
-    x_ref, dy_ref, dy_pad_ref, kpad_ref = refs[:4]
-    lrefs = refs[4 : 4 + N_LAYER_OPS]
-    out10 = refs[4 + N_LAYER_OPS : 4 + 2 * N_LAYER_OPS]
-    dx_ref, dx_pad_ref = refs[4 + 2 * N_LAYER_OPS :]
+    x_ref [C_in, bb, N], dy_ref [C_out, bb, N], then the layer's four
+    per-block BN stat rows (t_mean, t_inv_std, r_mean, r_inv_std, each an
+    (8, C_out) block of an [8*n_blocks, C_out] array — see pad_spec_c),
+    10 weights, then outputs: 10 grads (grid-accumulated) and
+    dx_ref [C_in, bb, N]."""
+    x_ref, dy_ref = refs[:2]
+    stat_refs = refs[2:6]
+    lrefs = refs[6 : 6 + N_LAYER_OPS]
+    out10 = refs[6 + N_LAYER_OPS : 6 + 2 * N_LAYER_OPS]
+    dx_ref = refs[6 + 2 * N_LAYER_OPS]
 
     i = pl.program_id(0)
 
@@ -759,16 +761,14 @@ def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
             ref[:] = ref[:] + val
 
     _ddt, sdt = _parse_dtype(dtype)
-    kpad_l = jnp.transpose(kpad_ref[0:1, :], (1, 0))  # [C_in, 1]
-    dy_pad = jnp.transpose(dy_pad_ref[0:1, :], (1, 0))  # [C_out, 1]
-    dx3, dx_pad = _layer_bwd_body(
-        lrefs, x_ref[:].astype(sdt), kpad_l,
-        dy_ref[:].astype(sdt), dy_pad, out10, accum,
-        bb, n_valid, res_id, dtype,
+    stats4 = tuple(
+        jnp.transpose(r[0:1, :], (1, 0)) for r in stat_refs
+    )  # each [C_out, 1]
+    dx3 = _layer_bwd_body(
+        lrefs, x_ref[:].astype(sdt), dy_ref[:].astype(sdt), stats4,
+        out10, accum, bb, n_valid, res_id, dtype,
     )
     dx_ref[:] = dx3.astype(jnp.float32)
-    dx_pad_ref[:] = jnp.broadcast_to(jnp.transpose(dx_pad, (1, 0)),
-                                     dx_pad_ref.shape)
 
 
 # --------------------------------------------------------------------------
@@ -793,8 +793,9 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
                 interpret, dtype="float32", save_acts=False):
     """x_t: [C_in, B, N_PAD]. Returns (z [B, L], sums: list of 4-tuples)
     and, with save_acts, also (acts: per-layer [C_out, B, N_PAD] outputs,
-    kpads: per-layer [C_out, n_blocks] pad constants) — the residuals the
-    split backward reads instead of rematerializing the whole stack."""
+    stats: per-layer 4-tuples of [8*n_blocks, C_out] per-ghost-block BN
+    statistics) — the residuals the split backward reads instead of
+    recomputing."""
     c_in, b, _ = x_t.shape
     bb = ghost_size
     n_blocks = b // bb
@@ -822,10 +823,11 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
                                           memory_space=pltpu.VMEM))
         for lay in ops.layers:
             c_out = lay.wt.shape[0]
-            out_shapes.append(
-                jax.ShapeDtypeStruct((8 * n_blocks, c_out), jnp.float32))
-            out_specs.append(pl.BlockSpec((8, c_out), lambda i: (i, 0),
-                                          memory_space=pltpu.VMEM))
+            for _ in range(4):
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((8 * n_blocks, c_out), jnp.float32))
+                out_specs.append(pl.BlockSpec((8, c_out), lambda i: (i, 0),
+                                              memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers, bb, n_valid, res_identity,
@@ -851,11 +853,13 @@ def _fwd_pallas(x_t, ops: EncoderOps, n_valid, ghost_size, res_identity,
     if not save_acts:
         return z, sums
     acts = outs[1 + 4 * n_layers : 1 + 5 * n_layers]
-    kpads = outs[1 + 5 * n_layers :]
-    return z, sums, acts, kpads
+    stat_flat = outs[1 + 5 * n_layers :]
+    stats = [tuple(stat_flat[4 * l + k] for k in range(4))
+             for l in range(n_layers)]
+    return z, sums, acts, stats
 
 
-def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
+def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, stats, n_valid,
                       ghost_size, res_identity, interpret, dtype="float32"):
     """Split-mode backward: a projector kernel + one kernel per layer, dy
     passed between them through HBM. Each Mosaic payload stays small
@@ -906,8 +910,7 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         compiler_params=cparams,
         interpret=interpret,
     )(acts[-1], dz, ops.wp)
-    # wp pad rows are zero -> zero dy pad constants for the top layer
-    dy_pad = jnp.zeros((8 * n_blocks, c_h), jnp.float32)
+    # wp pad rows are zero -> dy pad columns are exactly zero
 
     d_layers = [None] * n_layers
     for l in reversed(range(n_layers)):
@@ -915,17 +918,12 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
         c_out = lay.wt.shape[0]
         c_in = lay.wt.shape[1]
         x_l = x_t if l == 0 else acts[l - 1]
-        kpad_l = (jnp.zeros((8 * n_blocks, c_in), jnp.float32) if l == 0
-                  else kpads[l - 1])
         w_args = list(lay)
         out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
                       for a in lay]
         out_specs = [_full_spec(a.shape) for a in lay]
-        out_shapes += [
-            jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((8 * n_blocks, c_in), jnp.float32),
-        ]
-        out_specs += [act_spec(c_in), pad_spec_c(c_in)]
+        out_shapes.append(jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.float32))
+        out_specs.append(act_spec(c_in))
         outs = pl.pallas_call(
             functools.partial(_layer_bwd_kernel, bb, n_valid,
                               res_identity[l], kdt),
@@ -934,23 +932,22 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, kpads, n_valid,
             in_specs=[
                 act_spec(c_in),
                 act_spec(c_out),
-                pad_spec_c(c_out),
-                pad_spec_c(c_in),
+                *[pad_spec_c(c_out) for _ in range(4)],
                 *[_full_spec(a.shape) for a in lay],
             ],
             out_specs=tuple(out_specs),
             compiler_params=cparams,
             interpret=interpret,
-        )(x_l, dy, dy_pad, kpad_l, *w_args)
+        )(x_l, dy, *stats[l], *w_args)
         d_layers[l] = LayerOps(*outs[:N_LAYER_OPS])
         dy = outs[N_LAYER_OPS]
-        dy_pad = outs[N_LAYER_OPS + 1]
     return EncoderOps(layers=tuple(d_layers), wp=dwp, bp=dbp)
 
 
 def _bwd_pallas(x_t, dz, ops: EncoderOps, n_valid, ghost_size, res_identity,
                 interpret, dtype="float32"):
-    """Returns cotangents for every LayerOps field + (dwp, dbp)."""
+    """Mono backward wrapper: cotangents for every LayerOps field + (dwp,
+    dbp)."""
     c_in, b, _ = x_t.shape
     bb = ghost_size
     n_blocks = b // bb
@@ -1007,11 +1004,11 @@ def fused_ghost_encode(x_t, ops, n_valid, ghost_size, res_identity,
     channel-major); returns (z [B, latent] fp32, per-layer pre-BN sum
     4-tuples for the running-stat update).
 
-    bwd_mode='split' (default) saves the layer-boundary activations and
-    runs one small backward kernel per layer; 'mono' saves nothing and
-    rematerializes the whole stack inside one big backward kernel (less
-    HBM traffic, but a Mosaic payload the remote compile infrastructure
-    chokes on — see _bwd_split_pallas).
+    bwd_mode='split' (default) saves the layer-boundary activations +
+    per-block BN statistics and runs one small backward kernel per layer;
+    'mono' saves nothing and rematerializes the whole stack inside one big
+    backward kernel (less HBM traffic, but a Mosaic payload the remote
+    compile infrastructure chokes on — see _bwd_split_pallas).
 
     NOTE: the VJP returns a ZERO cotangent for x_t — the input is data
     (gathered windows), never a function of trainable parameters. Do not
@@ -1023,11 +1020,11 @@ def fused_ghost_encode(x_t, ops, n_valid, ghost_size, res_identity,
 def _fge_fwd(x_t, ops, n_valid, ghost_size, res_identity, interpret, dtype,
              bwd_mode):
     if bwd_mode == "split":
-        z, sums, acts, kpads = _fwd_pallas(
+        z, sums, acts, stats = _fwd_pallas(
             x_t, ops, n_valid, ghost_size, res_identity, interpret, dtype,
             save_acts=True,
         )
-        return (z, sums), (x_t, ops, acts, kpads)
+        return (z, sums), (x_t, ops, acts, stats)
     out = _fwd_pallas(x_t, ops, n_valid, ghost_size, res_identity, interpret,
                       dtype)
     return out, (x_t, ops, None, None)
@@ -1035,10 +1032,10 @@ def _fge_fwd(x_t, ops, n_valid, ghost_size, res_identity, interpret, dtype,
 
 def _fge_bwd(n_valid, ghost_size, res_identity, interpret, dtype, bwd_mode,
              residuals, cts):
-    x_t, ops, acts, kpads = residuals
+    x_t, ops, acts, stats = residuals
     dz, _ = cts  # stat-sum cotangents are structurally zero (non-diff path)
     if bwd_mode == "split":
-        d_ops = _bwd_split_pallas(x_t, dz, ops, acts, kpads, n_valid,
+        d_ops = _bwd_split_pallas(x_t, dz, ops, acts, stats, n_valid,
                                   ghost_size, res_identity, interpret, dtype)
     else:
         d_ops = _bwd_pallas(x_t, dz, ops, n_valid, ghost_size, res_identity,
