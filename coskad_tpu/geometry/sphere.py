@@ -105,6 +105,25 @@ class PowerSpherical(NamedTuple):
         u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
         return y - 2.0 * u * jnp.sum(u * y, axis=-1, keepdims=True)
 
+    def sample_from_draws(self, z01: jax.Array, v_raw: jax.Array) -> jax.Array:
+        """Deterministic sample from pre-drawn noise: z01 [...] in (0, 1)
+        (the Beta draw) and v_raw [..., D-1] (tangent noise). The lockstep
+        parity hook (tests/test_lockstep_parity.py): identical draws fed to
+        this and to the torch mirror produce identical samples, so the 'ps'
+        VAE trains in lockstep across frameworks. Gradients flow to `loc`
+        through the Householder map; the implicit-reparameterization term
+        through the Beta is absent (draws are constants) — identically so
+        on both sides, which is what the parity test requires."""
+        t = (2.0 * z01 - 1.0)[..., None]
+        v = v_raw / jnp.linalg.norm(v_raw, axis=-1, keepdims=True)
+        y = jnp.concatenate(
+            [t, jnp.sqrt(jnp.maximum(1.0 - t**2, 0.0)) * v], axis=-1
+        )
+        e1 = jnp.zeros_like(self.loc).at[..., 0].set(1.0)
+        u = e1 - self.loc
+        u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+        return y - 2.0 * u * jnp.sum(u * y, axis=-1, keepdims=True)
+
     def kl_to_uniform(self) -> jax.Array:
         """KL(PowerSpherical || HypersphericalUniform on S^{D-1})."""
         return -self.entropy() + _log_surface_area(self.dim - 1)

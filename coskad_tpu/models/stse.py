@@ -228,12 +228,21 @@ class STSVAE(STSAE):
         return z_mean, z_var
 
     def __call__(self, x, train: bool = False, sample: bool = True,
-                 frozen_bn: bool = False):
+                 frozen_bn: bool = False, sample_draws=None):
         from ..geometry.sphere import PowerSpherical
 
         z_mean, z_var = self.encode_distribution(x, train=train,
                                                  frozen_bn=frozen_bn)
-        if sample:
+        if sample_draws is not None:
+            # Test-only lockstep hook: pre-drawn noise instead of make_rng
+            # ('ps': (z01, v_raw) -> sample_from_draws; 'normal': (eps,)).
+            if self.distribution == "ps":
+                z = PowerSpherical(
+                    z_mean, jnp.squeeze(z_var, -1)
+                ).sample_from_draws(*sample_draws)
+            else:
+                z = z_mean + z_var * sample_draws[0]
+        elif sample:
             key = self.make_rng("sample")
             if self.distribution == "ps":
                 z = PowerSpherical(z_mean, jnp.squeeze(z_var, -1)).rsample(key)

@@ -254,7 +254,7 @@ class Trainer:
     # ------------------------------------------------------------ jit bodies
 
     def _forward(self, params, batch_stats, batch, train: bool, rng=None,
-                 frozen_bn: bool = False):
+                 frozen_bn: bool = False, vae_draws=None):
         # Fused ghost-BN Pallas path (train-mode, live statistics): the
         # whole encoder fwd(+custom-VJP bwd) runs as one kernel per
         # direction with VMEM-resident activations. Encoder-only variants
@@ -268,6 +268,8 @@ class Trainer:
         if self.cfg.model.use_vae:
             rngs["sample"] = base
             kwargs["sample"] = self.vae_sample
+            if vae_draws is not None:  # lockstep-parity hook (see stse.py)
+                kwargs["sample_draws"] = vae_draws
         if train and self.cfg.model.dropout > 0:
             rngs["dropout"] = jax.random.fold_in(base, 0x60)
         if train:
@@ -291,7 +293,7 @@ class Trainer:
 
     def _train_step_impl(
         self, state: TrainState, data: jax.Array, indices: jax.Array,
-        frozen_bn: bool = False,
+        frozen_bn: bool = False, vae_draws=None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, step_rng = jax.random.split(state.rng)
         batch = self._gather(data, indices)
@@ -299,7 +301,7 @@ class Trainer:
         def loss_fn(params):
             out, new_bs = self._forward(
                 params, state.batch_stats, batch, train=True, rng=step_rng,
-                frozen_bn=frozen_bn,
+                frozen_bn=frozen_bn, vae_draws=vae_draws,
             )
             loss, metrics = objectives.compute_loss(
                 self.cfg, out, batch, params, state.center, state.inv_cov

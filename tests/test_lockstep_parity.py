@@ -615,3 +615,170 @@ def test_lockstep_gradient_field_sgd(variant):
     final eval scores agree tightly — direct evidence the full gradient
     field (not just the loss value) matches the reference."""
     _run_lockstep(variant, optimizer="sgd")
+
+
+# -------------------------------------------------- PowerSpherical lockstep
+
+
+def _t_ps_sample_from_draws(loc, z01, v_raw):
+    """Torch mirror of sphere.PowerSpherical.sample_from_draws (same
+    deterministic map from pre-drawn noise; reference rsample semantics,
+    models/sts/vae.py:129 via the power_spherical package)."""
+    t = (2.0 * z01 - 1.0).unsqueeze(-1)
+    v = v_raw / v_raw.norm(dim=-1, keepdim=True)
+    y = torch.cat([t, torch.sqrt((1.0 - t**2).clamp_min(0.0)) * v], dim=-1)
+    e1 = torch.zeros_like(loc)
+    e1[..., 0] = 1.0
+    u = e1 - loc
+    u = u / u.norm(dim=-1, keepdim=True).clamp_min(1e-12)
+    return y - 2.0 * u * (u * y).sum(-1, keepdim=True)
+
+
+def _t_ps_kl_to_uniform(scale, d):
+    """KL(PowerSpherical(., kappa) || Uniform(S^{d-1})) closed form, the
+    torch mirror of sphere.PowerSpherical.kl_to_uniform."""
+    import math
+
+    beta = torch.tensor((d - 1) / 2.0)
+    alpha = beta + scale
+    log_norm = -(
+        (alpha + beta) * math.log(2.0) + torch.lgamma(alpha)
+        - torch.lgamma(alpha + beta) + beta * math.log(math.pi)
+    )
+    entropy = -(
+        log_norm + scale * (math.log(2.0) + torch.digamma(alpha)
+                            - torch.digamma(alpha + beta))
+    )
+    log_sa = (math.log(2.0) + (d / 2.0) * math.log(math.pi)
+              - math.lgamma(d / 2.0))
+    return -entropy + log_sa
+
+
+class TorchSTSVEPS(TorchSTSVE):
+    """distribution='ps' head: normalized mean, scalar concentration
+    (models/sts/vae.py:144-169)."""
+
+    def __init__(self, components, c_in, channels, h_dim, latent, T, V,
+                 decoder_channels=None):
+        super().__init__(components, c_in, channels, h_dim, latent, T, V,
+                         decoder_channels)
+        self.fc_var = nn.Linear(h_dim * T * V, 1)
+
+    def forward(self, x, draws=None):
+        h = self.encoder(x)
+        flat = h.reshape(x.shape[0], -1)
+        z_mean = F.normalize(self.fc_mean(flat), dim=-1)
+        kappa = F.softplus(self.fc_var(flat)) + 1.0  # [B, 1]
+        z = (_t_ps_sample_from_draws(z_mean, draws[0], draws[1])
+             if draws is not None else z_mean)
+        return z, self.decode(z), (z_mean, kappa)
+
+
+def test_vae_ps_lockstep_with_injected_draws():
+    """Per-step loss lockstep for distribution='ps' (VERDICT round-2 item
+    7): identical pre-drawn Beta/tangent noise is fed through the test-only
+    sampling hook on each side, so the full sampled-latent VAE loss
+    (phi*rec + alpha*reg + beta*KL_ps + gamma*E[1/kappa],
+    spherical_vae.py:81-107) locksteps across frameworks. SGD like the
+    gradient-field tests: Adam's pre-BN-bias sign amplification (module
+    docstring) compounds faster here because the sampled latent feeds the
+    decoder, so the Adam run drifts to the few-percent level by step ~20
+    on identical code; SGD isolates the formula/gradient parity this test
+    is after."""
+    components, dataset_utils, calc_reg_loss, _ = _reference()
+    torch.manual_seed(42)
+
+    ds, _ = synthetic_segments(
+        n_frames=200, seg_len=DIMS["seg_len"], n_joints=DIMS["n_joints"],
+        stride=2, seed=3, num_transform=2,
+    )
+    n = len(ds.data)
+    logical = n * 2
+    steps = logical // BATCH
+    dims = (2, DIMS["channels"], DIMS["h_dim"], DIMS["latent"],
+            DIMS["seg_len"], DIMS["n_joints"])
+    model_t = TorchSTSVEPS(components, c_in=2, channels=DIMS["channels"],
+                           h_dim=DIMS["h_dim"], latent=DIMS["latent"],
+                           T=DIMS["seg_len"], V=DIMS["n_joints"])
+
+    n_epochs = 3
+    perm_rng = np.random.default_rng(11)
+    epoch_indices = [
+        perm_rng.permutation(logical)[: steps * BATCH].reshape(steps, BATCH)
+        for _ in range(n_epochs)
+    ]
+    draw_rng = np.random.default_rng(123)
+    all_draws = [
+        (draw_rng.uniform(0.02, 0.98, BATCH).astype(np.float32),
+         draw_rng.normal(size=(BATCH, DIMS["latent"] - 1)).astype(np.float32))
+        for _ in range(steps * n_epochs)
+    ]
+
+    cfg = make_config("vae", "euclidean", **{k: v for k, v in DIMS.items()},
+                      batch_size=BATCH, num_transform=2)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, distribution="ps"))
+
+    import optax
+
+    trainer = Trainer(cfg, ds)
+    trainer.tx = optax.inject_hyperparams(optax.sgd)(learning_rate=cfg.opt.lr)
+    state = trainer.init_state()
+    params = jax.tree_util.tree_map(np.array, state.params)
+    stats = jax.tree_util.tree_map(np.array, state.batch_stats)
+    params, stats = transplant(model_t, "vae", params, stats, dims)
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32), params)
+    state = trainer.attach_state(
+        state.replace(params=params, batch_stats=stats))
+
+    # jax side: per-step dispatch so each step gets its own draws
+    losses_j = []
+    k = 0
+    for idx_mat in epoch_indices:
+        for srow in range(idx_mat.shape[0]):
+            z01, v = all_draws[k]
+            k += 1
+            state, metrics = trainer._train_step(
+                state, trainer.train_data, jnp.asarray(idx_mat[srow]),
+                vae_draws=(jnp.asarray(z01), jnp.asarray(v)),
+            )
+            losses_j.append(float(metrics["loss"]))
+
+    # torch side, replicating spherical_vae.py:81-107 with the same draws
+    hp = dict(alpha=cfg.opt.alpha, phi=cfg.opt.phi, beta=cfg.opt.beta,
+              gamma=cfg.opt.gamma)
+    trans_list = dataset_utils.ae_trans_list[:2]
+    opt = torch.optim.SGD(model_t.parameters(), lr=cfg.opt.lr)
+    model_t.train()
+    losses_t = []
+    k = 0
+    for idx_mat in epoch_indices:
+        for srow in range(idx_mat.shape[0]):
+            b = torch_batch(dataset_utils, ds.data, idx_mat[srow], n,
+                            trans_list)
+            z01, v = all_draws[k]
+            k += 1
+            z, recon, (z_mean, kappa) = model_t(
+                b, draws=(torch.from_numpy(z01), torch.from_numpy(v)))
+            l_rec = F.mse_loss(recon, b)
+            l_reg = calc_reg_loss(model_t)
+            l_kl = _t_ps_kl_to_uniform(kappa.squeeze(-1),
+                                       DIMS["latent"]).mean()
+            l_exp = (1.0 / kappa).mean()
+            loss = (hp["phi"] * l_rec + hp["alpha"] * l_reg
+                    + hp["beta"] * l_kl + hp["gamma"] * l_exp)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses_t.append(float(loss))
+
+    losses_j = np.asarray(losses_j)
+    losses_t = np.asarray(losses_t)
+    assert len(losses_j) == len(losses_t) == steps * n_epochs
+    np.testing.assert_allclose(
+        losses_j[:20], losses_t[:20], rtol=3e-4,
+        err_msg="ps VAE: early lockstep losses diverged")
+    np.testing.assert_allclose(
+        losses_j, losses_t, rtol=5e-3,
+        err_msg="ps VAE: lockstep losses diverged")
