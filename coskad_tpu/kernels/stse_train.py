@@ -555,18 +555,28 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
 
 def _layer_bwd_body(lrefs, x3, dy, stats4, out10, accum,
                     bb, n_valid, res_id, dtype):
-    """One ST-GCNN layer's lean backward: recompute the pre-BN activations
-    (g3/t3/r3/pre3 — four dots + one affine pass) from the layer input and
-    the forward-saved per-block BN statistics, fold the BN-backward affine
-    into the consumers, accumulate the 10 weight grads into out10, and
-    return dx3 for the layer below. Shared by the mono kernel and the
-    per-layer split kernels.
+    """One ST-GCNN layer's lean backward (v5 "dot-folded").
 
-    Invariants (see _layer_fwd): x3 and dy pad columns are exactly zero, so
-    every reduction is valid-exact with no analytic corrections, dWres needs
-    no masking passes, and the per-layer valid sums are analytic
-    (t_sum = cnt * t_mean). Eliminated vs the v3 body: 4 statistic
-    reduction passes, 2 masked copies, and all pad-constant bookkeeping."""
+    The key identity: the pre-BN activations t3 = Wt@g3 + b and
+    r3 = Wr@x3 + b_res are linear images of arrays the backward already
+    holds, so they are NEVER materialized here — every consumer folds:
+
+      pre3      = (st*Wt)@g3 + (sr*Wr)@x3 + const      (two dots, direct)
+      s2_t      = rowsum(Wt o P) + b*s1                 (P = dpre@g3T, the
+                                                         same dot dWt needs)
+      t3@g3T    = Wt@(g3@g3T) + b (x) g3sum^T           (Gram matrix G)
+      (Wt*b)^T@t3 = M2@g3 + const                       (M2 = (Wt*b)^T Wt,
+                                                         [C_in, C_in] tiny)
+
+    and symmetrically for the residual branch with Q = dpre@x3T and
+    X = x3@x3T. This removes the t3/r3 stores plus their four big reads —
+    ~35% of the backward's VMEM traffic, the measured bound — at the cost
+    of O(C^2)-to-O(C^3) scalar math on the otherwise idle MXU/VPU.
+
+    Statistics come in saved from the forward (stats4); x3 and dy pad
+    columns are exactly zero (see _layer_fwd), so every reduction is
+    valid-exact and dWres needs no masking passes. Returns dx3 for the
+    layer below (pad columns re-zeroed)."""
     (m, wt, b, gamma, beta, wt_res, b_res, gamma_res, beta_res, alpha) = lrefs
     ddt, sdt = _parse_dtype(dtype)
     cnt = bb * n_valid
@@ -592,42 +602,51 @@ def _layer_bwd_body(lrefs, x3, dy, stats4, out10, accum,
             preferred_element_type=jnp.float32,
         )
 
-    # ---- recompute pre-BN activations (no statistics passes)
-    g3 = dot(x3.reshape(c_in * bb, N_PAD), m[:]).astype(sdt).reshape(
-        c_in, bb, N_PAD
-    )
-    t3 = (dotg(wt[:], g3) + b[:][:, None, :]).astype(sdt)
+    wt32 = wt[:].astype(jnp.float32)
+    b32 = b[:]
     scale_t = gamma[:] * t_inv_std
     shift_t = beta[:] - t_mean * scale_t
     if res_id:
-        r3 = x3
+        wr32 = None
         scale_r = jnp.ones_like(scale_t)
         shift_r = jnp.zeros_like(shift_t)
+        br32 = jnp.zeros_like(b32)
     else:
-        r3 = (dotg(wt_res[:], x3) + b_res[:][:, None, :]).astype(sdt)
+        wr32 = wt_res[:].astype(jnp.float32)
         scale_r = gamma_res[:] * r_inv_std
         shift_r = beta_res[:] - r_mean * scale_r
-    pre3 = (
-        t3 * scale_t.astype(sdt)[:, None, :]
-        + shift_t.astype(sdt)[:, None, :]
-        + r3 * scale_r.astype(sdt)[:, None, :]
-        + shift_r.astype(sdt)[:, None, :]
-    ).astype(sdt)
+        br32 = b_res[:]
+
+    # ---- recompute g3 + pre3 directly (t3/r3 never materialize)
+    g3 = dot(x3.reshape(c_in * bb, N_PAD), m[:]).astype(sdt).reshape(
+        c_in, bb, N_PAD
+    )
+    pre_const = scale_t * b32 + shift_t + scale_r * br32 + shift_r
+    pre3 = dotg((scale_t * wt32).astype(sdt), g3)
+    if res_id:
+        pre3 = pre3 + x3.astype(jnp.float32)
+    else:
+        pre3 = pre3 + dotg((scale_r * wr32).astype(sdt), x3)
+    pre3 = (pre3 + pre_const[:, None, :]).astype(sdt)
 
     # PReLU backward; dy pads are zero so dpre pads are zero
     alpha_d = alpha[0, 0].astype(sdt)
     dpre = jnp.where(pre3 < 0, alpha_d * dy, dy).astype(sdt)
-    # dalpha = sum_neg dy*pre3 == sum dy*min(pre3, 0): the minimum fuses
-    # into the product reduction (saves the separate where pass)
+    # dalpha = sum_neg dy*pre3 == sum dy*min(pre3, 0)
     dalpha = jnp.sum(_colprod32(dy, jnp.minimum(pre3, 0))).reshape(1, 1)
     accum(out10[9], dalpha)
 
     s1 = _colsum32(dpre)
 
-    def bn_consts(pre_raw3, mean, inv_std, gam):
+    # ---- transposes + products shared by the weight grads
+    g3t = dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
+    g3sum = _colsum32(g3)  # [c_in, 1]
+    p_t = dot(dpre.reshape(-1, cols), g3t)  # [C_out, C_in] = dpre (.) g3
+    gram_g = dot(g3.reshape(c_in, cols), g3t)  # [C_in, C_in]
+
+    def bn_consts(s2, mean, inv_std, gam):
         """Per-channel affine constants of the ghost-BN backward:
-        d_raw = a*dpre + b*pre_raw + c. Also returns (dgamma, dbeta)."""
-        s2 = _colprod32(dpre, pre_raw3)
+        d_raw = a*dpre + b*raw + c. Also returns (dgamma, dbeta)."""
         dbeta_ = s1
         dgamma_ = inv_std * (s2 - mean * s1)
         a_c = gam * inv_std
@@ -635,27 +654,27 @@ def _layer_bwd_body(lrefs, x3, dy, stats4, out10, accum,
         c_c = -a_c * (s1 / cnt) - b_c * mean
         return a_c, b_c, c_c, dgamma_, dbeta_
 
-    # ---- tcn branch: BN -> dense -> graph (affine folded)
-    a_t, b_t, c_t, dgamma, dbeta = bn_consts(t3, t_mean, t_inv_std, gamma[:])
+    # ---- tcn branch (all consumers folded through P / G / M2)
+    s2_t = jnp.sum(wt32 * p_t, axis=1, keepdims=True) + b32 * s1
+    a_t, b_t, c_t, dgamma, dbeta = bn_consts(s2_t, t_mean, t_inv_std,
+                                             gamma[:])
     accum(out10[3], dgamma)
     accum(out10[4], dbeta)
     # db = sum_valid(d_t3) = a*s1 + b*t_sum + c*cnt, t_sum = cnt*t_mean
     accum(out10[2], a_t * s1 + b_t * (cnt * t_mean) + c_t * cnt)
-    # dwt = a*(dpre@g3T) + b*(t3@g3T) + c (x) colsum(g3): g3's pad
-    # columns are exactly zero, so full-array reductions need no mask
-    g3t = dot0(g3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
-    g3sum = _colsum32(g3)  # [c_in, 1]
+    # dwt = a*P + b*(t3@g3T) + c (x) g3sum^T, with t3@g3T folded through G
     dwt = (
-        a_t * dot(dpre.reshape(-1, cols), g3t)
-        + b_t * dot(t3.reshape(-1, cols), g3t)
+        a_t * p_t
+        + b_t * (jnp.matmul(wt32, gram_g) + b32 * g3sum.reshape(1, -1))
         + c_t * g3sum.reshape(1, -1)
     )
     accum(out10[1], dwt)
-    # dg3 = (wt*a)^T @ dpre + (wt*b)^T @ t3 + wt^T @ c
-    wt32 = wt[:].astype(jnp.float32)
+    # dg3 = (wt*a)^T @ dpre + M2 @ g3 + const, M2 = (wt*b)^T wt
+    m2_t = jnp.matmul((wt32 * b_t).T, wt32)  # [C_in, C_in]
     dg3 = (
-        dotg((wt32 * a_t).T, dpre) + dotg((wt32 * b_t).T, t3)
-        + jnp.matmul(wt32.T, c_t)[:, None, :]
+        dotg((wt32 * a_t).T, dpre)
+        + dotg(m2_t.astype(sdt), g3)
+        + jnp.matmul(wt32.T, c_t + b_t * b32)[:, None, :]
     ).astype(sdt)
     dgr = dg3.reshape(c_in * bb, N_PAD)
     accum(out10[0], dot0(x3.reshape(c_in * bb, N_PAD), dgr))
@@ -671,30 +690,32 @@ def _layer_bwd_body(lrefs, x3, dy, stats4, out10, accum,
                          (7, (c_out, 1)), (8, (c_out, 1))):
             accum(out10[k], jnp.zeros(shape, jnp.float32))
     else:
+        x3t = dot0(x3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
+        x3vsum = _colsum32(x3)  # valid-exact: pads zero
+        q_r = dot(dpre.reshape(-1, cols), x3t)  # [C_out, C_in]
+        gram_x = dot(x3.reshape(c_in, cols), x3t)  # [C_in, C_in]
+        s2_r = jnp.sum(wr32 * q_r, axis=1, keepdims=True) + br32 * s1
         a_r, b_r, c_r, dgamma_r, dbeta_r = bn_consts(
-            r3, r_mean, r_inv_std, gamma_res[:]
+            s2_r, r_mean, r_inv_std, gamma_res[:]
         )
         accum(out10[7], dgamma_r)
         accum(out10[8], dbeta_r)
         accum(out10[6], a_r * s1 + b_r * (cnt * r_mean) + c_r * cnt)
-        # dWres: x3's pads are zero (forward invariant), so x3t's pad rows
-        # are zero and dpre/r3 need NO masking passes here — their pad
-        # contributions multiply zero rows.
-        x3t = dot0(x3.reshape(c_in, cols), jnp.eye(c_in, dtype=jnp.float32))
-        x3vsum = _colsum32(x3)  # valid-exact: pads zero
         dwres = (
-            a_r * dot(dpre.reshape(-1, cols), x3t)
-            + b_r * dot(r3.reshape(-1, cols), x3t)
+            a_r * q_r
+            + b_r * (jnp.matmul(wr32, gram_x)
+                     + br32 * x3vsum.reshape(1, -1))
             + c_r * x3vsum.reshape(1, -1)
         )
         accum(out10[5], dwres)
-        wr32 = wt_res[:].astype(jnp.float32)
+        m2_r = jnp.matmul((wr32 * b_r).T, wr32)
         dx3 = dx3 + (
-            dotg((wr32 * a_r).T, dpre) + dotg((wr32 * b_r).T, r3)
-            + jnp.matmul(wr32.T, c_r)[:, None, :]
+            dotg((wr32 * a_r).T, dpre)
+            + dotg(m2_r.astype(sdt), x3)
+            + jnp.matmul(wr32.T, c_r + b_r * br32)[:, None, :]
         ).astype(sdt)
-        # b_r/c_r terms put per-channel constants in the pad columns;
-        # re-establish the zero-pad invariant for the layer below
+        # the constant term puts values in the pad columns; re-establish
+        # the zero-pad invariant for the layer below
         nmask = jax.lax.broadcasted_iota(
             jnp.int32, (1, 1, N_PAD), 2
         ) < n_valid
@@ -702,38 +723,56 @@ def _layer_bwd_body(lrefs, x3, dy, stats4, out10, accum,
     return dx3
 
 
-def _proj_bwd_kernel(bb, dtype, y4_ref, dz_ref, wp_ref,
-                     dwp_ref, dbp_ref, dy_ref):
-    """Projector backward as its own kernel (split mode): consumes the
-    saved final activation block and dz, accumulates dwp/dbp across the
-    grid, writes the dy block for the top ST-GCNN layer."""
+def _top_layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
+    """Projector backward fused into the TOP ST-GCNN layer's backward
+    (split mode): dy never round-trips HBM. refs = x_ref [C_in, bb, N],
+    y4_ref [C_h, bb, N] (the saved final activation), dz_ref [bb, L],
+    wp_ref, 4 per-block stat rows, 10 weights; outputs: 10 grads, dwp,
+    dbp (grid-accumulated), dx_ref [C_in, bb, N]."""
+    x_ref, y4_ref, dz_ref, wp_ref = refs[:4]
+    stat_refs = refs[4:8]
+    lrefs = refs[8 : 8 + N_LAYER_OPS]
+    out_refs = refs[8 + N_LAYER_OPS :]
+    out10 = out_refs[:N_LAYER_OPS]
+    dwp_ref, dbp_ref, dx_ref = out_refs[N_LAYER_OPS:]
+
     i = pl.program_id(0)
-    ddt, sdt = _parse_dtype(dtype)
+
+    def accum(ref, val):
+        @pl.when(i == 0)
+        def _():
+            ref[:] = val
+
+        @pl.when(i > 0)
+        def _():
+            ref[:] = ref[:] + val
+
+    _ddt, sdt = _parse_dtype(dtype)
     c_h = y4_ref.shape[0]
     dz = dz_ref[:].astype(jnp.float32)  # [bb, L]
     hcn = jnp.transpose(y4_ref[:].astype(sdt), (0, 2, 1)).reshape(
         c_h * N_PAD, bb
     )
-    dwp = jax.lax.dot_general(
+    accum(dwp_ref, jax.lax.dot_general(
         _dop(hcn, dtype), _dop(dz, dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(i == 0)
-    def _():
-        dwp_ref[:] = dwp
-        dbp_ref[:] = jnp.sum(dz, axis=0, keepdims=True)
-
-    @pl.when(i > 0)
-    def _():
-        dwp_ref[:] = dwp_ref[:] + dwp
-        dbp_ref[:] = dbp_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
-
+    ))
+    accum(dbp_ref, jnp.sum(dz, axis=0, keepdims=True))
     dh_cn = jax.lax.dot_general(
         _dop(wp_ref[:], dtype), _dop(dz.T, dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [C_h*N, bb] f32 (boundary arrays stay f32 — see _fwd_kernel note)
-    dy_ref[:] = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1))
+    )
+    # wp pad rows are zero -> dy pad columns are exactly zero
+    dy = jnp.transpose(dh_cn.reshape(c_h, N_PAD, bb), (0, 2, 1)).astype(sdt)
+
+    stats4 = tuple(
+        jnp.transpose(r[0:1, :], (1, 0)) for r in stat_refs
+    )
+    dx3 = _layer_bwd_body(
+        lrefs, x_ref[:].astype(sdt), dy, stats4,
+        out10, accum, bb, n_valid, res_id, dtype,
+    )
+    dx_ref[:] = dx3.astype(jnp.float32)
 
 
 def _layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
@@ -887,32 +926,8 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, stats, n_valid,
         return pl.BlockSpec((8, c), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    c_h = ops.layers[-1].wt.shape[0]
-    dwp, dbp, dy = pl.pallas_call(
-        functools.partial(_proj_bwd_kernel, bb, kdt),
-        grid=(n_blocks,),
-        out_shape=(
-            jax.ShapeDtypeStruct(ops.wp.shape, jnp.float32),
-            jax.ShapeDtypeStruct(ops.bp.shape, jnp.float32),
-            jax.ShapeDtypeStruct((c_h, b, N_PAD), jnp.float32),
-        ),
-        in_specs=[
-            act_spec(c_h),
-            pl.BlockSpec((bb, latent), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            _full_spec(ops.wp.shape),
-        ],
-        out_specs=(
-            _full_spec(ops.wp.shape),
-            _full_spec(ops.bp.shape),
-            act_spec(c_h),
-        ),
-        compiler_params=cparams,
-        interpret=interpret,
-    )(acts[-1], dz, ops.wp)
-    # wp pad rows are zero -> dy pad columns are exactly zero
-
     d_layers = [None] * n_layers
+    dwp = dbp = dy = None
     for l in reversed(range(n_layers)):
         lay = ops.layers[l]
         c_out = lay.wt.shape[0]
@@ -922,25 +937,59 @@ def _bwd_split_pallas(x_t, dz, ops: EncoderOps, acts, stats, n_valid,
         out_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32)
                       for a in lay]
         out_specs = [_full_spec(a.shape) for a in lay]
-        out_shapes.append(jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.float32))
-        out_specs.append(act_spec(c_in))
-        outs = pl.pallas_call(
-            functools.partial(_layer_bwd_kernel, bb, n_valid,
-                              res_identity[l], kdt),
-            grid=(n_blocks,),
-            out_shape=tuple(out_shapes),
-            in_specs=[
+        if l == n_layers - 1:
+            # top layer: projector backward fused in (dy stays in VMEM)
+            out_shapes += [
+                jax.ShapeDtypeStruct(ops.wp.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ops.bp.shape, jnp.float32),
+                jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.float32),
+            ]
+            out_specs += [
+                _full_spec(ops.wp.shape),
+                _full_spec(ops.bp.shape),
                 act_spec(c_in),
-                act_spec(c_out),
-                *[pad_spec_c(c_out) for _ in range(4)],
-                *[_full_spec(a.shape) for a in lay],
-            ],
-            out_specs=tuple(out_specs),
-            compiler_params=cparams,
-            interpret=interpret,
-        )(x_l, dy, *stats[l], *w_args)
-        d_layers[l] = LayerOps(*outs[:N_LAYER_OPS])
-        dy = outs[N_LAYER_OPS]
+            ]
+            outs = pl.pallas_call(
+                functools.partial(_top_layer_bwd_kernel, bb, n_valid,
+                                  res_identity[l], kdt),
+                grid=(n_blocks,),
+                out_shape=tuple(out_shapes),
+                in_specs=[
+                    act_spec(c_in),
+                    act_spec(c_out),
+                    pl.BlockSpec((bb, latent), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    _full_spec(ops.wp.shape),
+                    *[pad_spec_c(c_out) for _ in range(4)],
+                    *[_full_spec(a.shape) for a in lay],
+                ],
+                out_specs=tuple(out_specs),
+                compiler_params=cparams,
+                interpret=interpret,
+            )(x_l, acts[-1], dz, ops.wp, *stats[l], *w_args)
+            d_layers[l] = LayerOps(*outs[:N_LAYER_OPS])
+            dwp, dbp, dy = outs[N_LAYER_OPS:]
+        else:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((c_in, b, N_PAD), jnp.float32))
+            out_specs.append(act_spec(c_in))
+            outs = pl.pallas_call(
+                functools.partial(_layer_bwd_kernel, bb, n_valid,
+                                  res_identity[l], kdt),
+                grid=(n_blocks,),
+                out_shape=tuple(out_shapes),
+                in_specs=[
+                    act_spec(c_in),
+                    act_spec(c_out),
+                    *[pad_spec_c(c_out) for _ in range(4)],
+                    *[_full_spec(a.shape) for a in lay],
+                ],
+                out_specs=tuple(out_specs),
+                compiler_params=cparams,
+                interpret=interpret,
+            )(x_l, dy, *stats[l], *w_args)
+            d_layers[l] = LayerOps(*outs[:N_LAYER_OPS])
+            dy = outs[N_LAYER_OPS]
     return EncoderOps(layers=tuple(d_layers), wp=dwp, bp=dbp)
 
 
