@@ -399,12 +399,16 @@ def _layer_fwd(x3, refs, bb, n_valid, res_identity,
         scale_r = gamma_res[:] * r_inv_std
         shift_r = beta_res[:] - r_mean * scale_r
 
-    st = scale_t.astype(sdt)[:, None, :]
-    sht = shift_t.astype(sdt)[:, None, :]
-    sr = scale_r.astype(sdt)[:, None, :]
-    shr = shift_r.astype(sdt)[:, None, :]
-    pre3 = (t3 * st + sht + r3 * sr + shr).astype(sdt)
-    alpha_d = alpha[0, 0].astype(sdt)
+    # pre-activation kept in f32: bf16 COMPARES are rejected by this
+    # Mosaic toolchain (probed 2026-08-17, scripts/probe_mosaic.py) while
+    # f32-predicate selects over bf16 branches compile — and the f32
+    # accumulate is numerically better for the PReLU boundary anyway.
+    pre3 = (
+        t3.astype(jnp.float32) * scale_t[:, None, :] + shift_t[:, None, :]
+        + r3.astype(jnp.float32) * scale_r[:, None, :]
+        + shift_r[:, None, :]
+    )
+    alpha_d = alpha[0, 0]
     # need_y=False: the PReLU output pass is skipped (callers that only
     # need the internals). The pad-column mask re-establishes the zero-pad
     # invariant for the next layer / the stored activation (pre3's pads are
@@ -479,7 +483,11 @@ def _fwd_kernel(n_layers, bb, n_valid, res_identity, dtype, save_acts,
                 ref[:] = ref[:] + val
 
     c_h = x3.shape[0]
-    hcn = jnp.transpose(x3, (0, 2, 1)).reshape(c_h * N_PAD, bb)
+    # f32 before the transpose: bf16 transpose+merge-reshape is rejected
+    # by this Mosaic (probe_mosaic.py transpose_merge)
+    hcn = jnp.transpose(x3.astype(jnp.float32), (0, 2, 1)).reshape(
+        c_h * N_PAD, bb
+    )
     z = jax.lax.dot_general(
         _dop(hcn, dtype), _dop(wp_ref[:], dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -532,7 +540,9 @@ def _bwd_kernel(n_layers, bb, n_valid, res_identity, dtype, *refs):
     # ---- projector backward
     c_h = x_in[-1].shape[0]
     dz = dz_ref[:].astype(jnp.float32)  # [bb, L]
-    hcn = jnp.transpose(x_in[-1], (0, 2, 1)).reshape(c_h * N_PAD, bb)
+    hcn = jnp.transpose(x_in[-1].astype(jnp.float32), (0, 2, 1)).reshape(
+        c_h * N_PAD, bb
+    )
     accum(out_refs[N_LAYER_OPS * n_layers], dot(hcn, dz))  # dwp [C_h*N, L]
     accum(
         out_refs[N_LAYER_OPS * n_layers + 1],
@@ -622,12 +632,14 @@ def _layer_bwd_body(lrefs, x3, dy, stats4, out10, accum,
         c_in, bb, N_PAD
     )
     pre_const = scale_t * b32 + shift_t + scale_r * br32 + shift_r
+    # pre3 stays f32: its only consumers are the PReLU predicate and the
+    # dalpha minimum, and bf16 compares are Mosaic-rejected (probe_mosaic)
     pre3 = dotg((scale_t * wt32).astype(sdt), g3)
     if res_id:
         pre3 = pre3 + x3.astype(jnp.float32)
     else:
         pre3 = pre3 + dotg((scale_r * wr32).astype(sdt), x3)
-    pre3 = (pre3 + pre_const[:, None, :]).astype(sdt)
+    pre3 = pre3 + pre_const[:, None, :]
 
     # PReLU backward; dy pads are zero so dpre pads are zero
     alpha_d = alpha[0, 0].astype(sdt)
@@ -750,7 +762,7 @@ def _top_layer_bwd_kernel(bb, n_valid, res_id, dtype, *refs):
     _ddt, sdt = _parse_dtype(dtype)
     c_h = y4_ref.shape[0]
     dz = dz_ref[:].astype(jnp.float32)  # [bb, L]
-    hcn = jnp.transpose(y4_ref[:].astype(sdt), (0, 2, 1)).reshape(
+    hcn = jnp.transpose(y4_ref[:].astype(jnp.float32), (0, 2, 1)).reshape(
         c_h * N_PAD, bb
     )
     accum(dwp_ref, jax.lax.dot_general(

