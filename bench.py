@@ -25,12 +25,16 @@ import time
 
 import numpy as np
 
-N_WINDOWS = 20000
+# Workload scale: ~200k logical (window x transform) items — the UBnormal
+# order of magnitude — so the timed 96-step scan matches a real epoch's
+# dispatch amortization (the axon tunnel costs 15-77 ms per dispatch; short
+# scans measure mostly that floor, real epochs are hundreds of steps).
+N_WINDOWS = 40000
 BATCH = 2048
 T, V = 12, 18
 CHANNELS = (32, 16, 32)
 H_DIM, LATENT = 64, 16
-TRAIN_STEPS_TIMED = 40
+TRAIN_STEPS_TIMED = 96
 CPU_BASELINE_FILE = os.path.join(os.path.dirname(__file__), ".bench_cpu_baseline.json")
 
 

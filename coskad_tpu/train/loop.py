@@ -103,7 +103,15 @@ class Trainer:
         )
         self.batch_size = cfg.data.batch_size
         self._lr = cfg.opt.lr
-        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr)
+        # optax.flatten: Adam runs over ONE flat parameter vector instead of
+        # 40+ small tensors. The model is <300k params, so the update is
+        # trivial FLOPs but each per-tensor op is a separate TPU dispatch —
+        # profiling showed the step's op-launch floor rivals its compute.
+        # inject_hyperparams sits INSIDE so opt_state.hyperparams (the lr
+        # the schedulers mutate) keeps its path.
+        self.tx = optax.flatten(
+            optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr)
+        )
 
         # HBM-resident training data, replicated over the mesh (read-only).
         # Two pipelines: materialized windows (SegmentDataset) or the fused

@@ -36,10 +36,13 @@ from coskad_tpu.models import STSE
 B, C_IN, T, V = 2048, 2, 12, 18
 
 
-def build(batch=B):
+def build(batch=B, dtype=None):
+    kw = {}
+    if dtype is not None:
+        kw["dtype"] = dtype
     model = STSE(input_dim=C_IN, layer_channels=(32, 16, 32),
                  hidden_dimension=64, latent_dim=16, n_frames=T, n_joints=V,
-                 projector="linear", bn_mode="flax")
+                 projector="linear", bn_mode="flax", **kw)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((64, C_IN, T, V)))
     x = jnp.asarray(np.random.RandomState(1).randn(batch, C_IN, T, V),
@@ -80,13 +83,18 @@ def main(argv):
 
     for job in argv:
         try:
-            if job == "xla":
-                def loss_xla(p, xx):
-                    z, _ = model.apply(
+            if job in ("xla", "xla_bf16"):
+                if job == "xla_bf16":
+                    model_x, _, _, _ = build(dtype=jnp.bfloat16)
+                else:
+                    model_x = model
+
+                def loss_xla(p, xx, m=model_x):
+                    z, _ = m.apply(
                         {"params": p, "batch_stats": bs}, xx, train=True,
                         mutable=["batch_stats"])
-                    return jnp.mean((z - center) ** 2)
-                timed_scan(loss_xla, "flax-XLA live-BN")
+                    return jnp.mean((z.astype(jnp.float32) - center) ** 2)
+                timed_scan(loss_xla, f"flax-XLA live-BN [{job}]")
             elif job.startswith("check:"):
                 g, dt_ = job[6:].split(",")
                 g = int(g)
