@@ -313,8 +313,10 @@ def main():
             log(f"[bench] {pipeline}/{dtype}/{variant} failed: {e}")
             if not details:
                 raise  # headline config must succeed
-    value = details[f"{configs[0][0]}_{configs[0][1]}"][
-        "combined_wps_per_chip"]
+    head_key = (f"{configs[0][0]}_{configs[0][1]}"
+                if configs[0][2] == "euclidean_static"
+                else f"variant_{configs[0][2]}")
+    value = details[head_key]["combined_wps_per_chip"]
     try:
         baseline = measure_cpu_baseline()
     except Exception as e:  # torch missing or measurement failure

@@ -108,14 +108,20 @@ class STSE(nn.Module):
             return self.btlnk(x, train=train)
         return self.btlnk(x)
 
+    def _hidden_flat(self, x, train: bool, frozen_bn: bool):
+        """[B, C, T, V] -> flat hidden [B, T*V*hidden] at the COMPUTE dtype
+        ((T, V, C) flatten order). Kept un-upcast so consumers that compute
+        in bf16 (the VAE heads) read it without a 100+ MB fp32 round-trip."""
+        x = jnp.transpose(x, (0, 2, 3, 1))  # NCTV -> NTVC
+        h = self.encoder(x, train=train, frozen_bn=frozen_bn)
+        return h.reshape(h.shape[0], -1), h
+
     def encode(self, x, train: bool = False, frozen_bn: bool = False):
         """[B, C, T, V] -> (latent [B, D], hidden [B, T, V, hidden]).
 
         frozen_bn trains with running BN statistics (XLA folds the BN into
         the dense layers; see RunConfig.freeze_bn_after)."""
-        x = jnp.transpose(x, (0, 2, 3, 1))  # NCTV -> NTVC
-        h = self.encoder(x, train=train, frozen_bn=frozen_bn)
-        flat = h.reshape(h.shape[0], -1)  # (T, V, C) flatten order
+        flat, h = self._hidden_flat(x, train, frozen_bn)
         z = self._apply_btlnk(flat, train).astype(jnp.float32)
         return z, h
 
@@ -141,7 +147,12 @@ class STSAE(STSE):
                 f"No decoder available for encoder type {self.encoder_type!r}"
             )
         flat = self.hidden_dimension * self.n_frames * self.n_joints
-        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk")
+        # rev_btlnk runs at the model compute dtype: its [B, T*V*H] output is
+        # the largest decoder-path activation (~107 MB at B=2048 in fp32) and
+        # feeds straight into the bf16 decoder stack — storing it in fp32
+        # would double the dominant HBM traffic of the AE/VAE step.
+        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk",
+                                dtype=self.dtype)
         dec_channels = list(self.decoder_channels or self.layer_channels[::-1])
         self.decoder = STSGCNStack(
             channel_schedule=dec_channels + [self.input_dim],
@@ -197,10 +208,15 @@ class STSVAE(STSAE):
             head_in = self.latent_dim
         else:
             head_in = flat
+        # Measured (RESULTS.md round 3): bf16 heads/native-dtype features
+        # LOSE ~25% VAE train throughput vs this fp32 layout — XLA already
+        # keeps the flat hidden fused, and bf16 here only breaks that
+        # fusion. Heads stay fp32; rev_btlnk follows STSAE (compute dtype).
         self.fc_mean = _dense(self.latent_dim, head_in, True, "fc_mean")
         var_out = 1 if self.distribution == "ps" else self.latent_dim
         self.fc_var = _dense(var_out, head_in, True, "fc_var")
-        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk")
+        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk",
+                                dtype=self.dtype)
         dec_channels = list(self.decoder_channels or self.layer_channels[::-1])
         self.decoder = STSGCNStack(
             channel_schedule=dec_channels + [self.input_dim],
