@@ -309,6 +309,22 @@ def test_cli_device_pipeline_matches_windows_pipeline(tmp_path):
     assert abs(dev.auc - base.auc) < 0.05
 
 
+def test_train_cli_keeps_two_best_checkpoints(tmp_path):
+    """save_top_k=2 parity (reference train_COSKAD.py:70-73): after >= 2
+    validated epochs both best.ckpt and best2.ckpt exist, and best's AUC is
+    >= best2's (a new best rotates the old best into the runner-up slot)."""
+    from coskad_tpu.cli import train as train_cli
+    from coskad_tpu.train import checkpoint
+
+    cfg_path = make_synthetic_dataset(str(tmp_path))
+    train_cli.main(["--config", cfg_path, "--epochs", "3"])
+    ckpt_dir = os.path.join(str(tmp_path), "checkpoints", "Synthetic", "smoke")
+    best = checkpoint.read_payload(os.path.join(ckpt_dir, "best.ckpt"))
+    best2 = checkpoint.read_payload(os.path.join(ckpt_dir, "best2.ckpt"))
+    assert best["extra"]["auc"] >= best2["extra"]["auc"]
+    assert best["extra"]["epoch"] != best2["extra"]["epoch"]
+
+
 def test_eval_cli_save_roc(tmp_path):
     """--save-roc writes per-transform + final ROC PNGs and prints best
     thresholds (reference eval_COSKAD.py:237-241)."""

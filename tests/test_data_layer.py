@@ -218,3 +218,51 @@ def test_calculate_loss_pow4():
     t = np.zeros_like(x)
     np.testing.assert_allclose(calculate_loss(x, t), [1.0, 4.0])
     np.testing.assert_allclose(calculate_loss(x, t, to_pow=True), [1.0, 256.0])
+
+
+def test_legacy_pose_dataset_mp(tmp_path, rng):
+    """Compat shim for the reference's dead utils/pose_dataset_mp.py: same
+    indexing (i % N sample, i // N transform), same positional return
+    contract, same person_keys format."""
+    from coskad_tpu.data.legacy_mp import PoseDatasetMP
+    from coskad_tpu.data.transforms import canonical_transforms
+
+    d = tmp_path / "train"
+    d.mkdir()
+    for scene, clip in [(1, 1), (1, 2)]:
+        clip_dict = _synthetic_clip_dict(rng)
+        with open(d / f"{scene:02d}_{clip:04d}_alphapose.json", "w") as f:
+            json.dump(clip_dict, f)
+
+    ds = PoseDatasetMP(
+        str(d), transform_list=5, return_metadata=True, return_indices=True,
+        seg_len=12, seg_stride=8, kp18_format=True, sub_mean=True,
+        return_mean=True, vid_res=[856, 480],
+    )
+    n = ds.num_samples
+    assert len(ds) == 5 * n
+    assert (ds.C, ds.T, ds.V) == (3, 12, 18)
+    # identity transform row: item == stored window (num_coords slice)
+    data0, t0, meta0, ids0, mean0, idx0 = ds[0]
+    assert t0 == 0 and idx0 == 0
+    np.testing.assert_allclose(data0, ds.segs_data_np[0, :2])
+    assert meta0.shape == (4,) and ids0.shape == (12,) and mean0.shape == (2,)
+    # transform row 1 (flip): x negated relative to the identity row
+    data_f, t1 = ds[n][0], ds[n][1]
+    assert t1 == 1
+    np.testing.assert_allclose(data_f[0], -ds.segs_data_np[0, 0], atol=1e-6)
+    np.testing.assert_allclose(data_f[1], ds.segs_data_np[0, 1], atol=1e-6)
+    # person_keys: '{scene:02d}_{clip:04d}_{person:02d}' -> int frame keys
+    assert "01_0001_01" in ds.person_keys
+    assert all(isinstance(k, int) for k in ds.person_keys["01_0001_01"])
+    # no-transform mode matches the reference's num_transform=1 fallback
+    ds1 = PoseDatasetMP(str(d), transform_list=None, seg_len=12, seg_stride=8,
+                        return_mean=False, normalize_pose=False)
+    assert len(ds1) == ds1.num_samples
+    item = ds1[3]
+    np.testing.assert_allclose(item[0], ds1.segs_data_np[3, :2])
+    # explicit matrix table accepted
+    ds2 = PoseDatasetMP(str(d), transform_list=canonical_transforms(3),
+                        seg_len=12, seg_stride=8, return_mean=False,
+                        normalize_pose=False)
+    assert ds2.num_transform == 3
