@@ -201,6 +201,55 @@ def normalize_windows_device(
     raise ValueError(f"Unsupported device normalization {normalization!r}")
 
 
+def normalize_xy_device(
+    win: jax.Array,
+    normalization: str,
+    vid_res,
+    symm_range: bool,
+    sub_mean: bool,
+    scaler_center=None,
+    scaler_scale=None,
+) -> jax.Array:
+    """xy-only normalization: [B, T, V, 3] windows -> [B, T, V, 2].
+
+    Bit-identical to `normalize_windows_device(...)[..., :2]` (asserted in
+    tests/test_device_pipeline.py) but never materializes the 3-channel
+    buffer: the .at[..., :2].set writes in the general path lower to two
+    full-tensor dynamic-update-slices per step (~0.26 ms at B=2048 on v5e,
+    profiled — RESULTS.md round 3); the xy path is one fused elementwise
+    chain instead. Used whenever the model consumes num_coords == 2 (every
+    reference config) — the confidence channel never affects the xy math in
+    any strategy."""
+    res = jnp.asarray(list(vid_res), jnp.float32)
+    xy = win[..., :2] / res
+    if symm_range:
+        xy = 2.0 * xy - 1.0
+    if normalization == "markovitz":
+        if sub_mean:
+            xy = xy - jnp.mean(xy, axis=(1, 2), keepdims=True)
+        return xy
+    if normalization == "stan":
+        xy = xy - jnp.mean(xy, axis=1, keepdims=True)
+        smean = jnp.mean(xy, axis=(2, 3), keepdims=True)
+        std = jnp.sqrt(jnp.mean((xy - smean) ** 2, axis=(2, 3), keepdims=True) + 1e-5)
+        return xy / std
+    if normalization == "bbox":
+        w = xy[..., 0].max(-2, keepdims=True) - xy[..., 0].min(-2, keepdims=True)
+        h = xy[..., 1].max(-2, keepdims=True) - xy[..., 1].min(-2, keepdims=True)
+        return xy / jnp.stack([w, h], axis=-1)
+    if normalization == "robust":
+        b, t, v, _ = xy.shape
+        flat = xy.reshape(b, t, v * 2)
+        missing = flat == 0.0
+        center = jnp.asarray(scaler_center, jnp.float32).reshape(v * 2)
+        scale = jnp.asarray(scaler_scale, jnp.float32).reshape(v * 2)
+        return jnp.where(missing, 0.0, (flat - center) / scale).reshape(
+            b, t, v, 2)
+    if normalization in (None, "none"):
+        return win[..., :2]
+    raise ValueError(f"Unsupported device normalization {normalization!r}")
+
+
 def gather_batch_from_store(
     store: TrajectoryStore,
     traj: jax.Array,
@@ -221,12 +270,18 @@ def gather_batch_from_store(
     win = gather_windows(
         traj, persons_dev[sample_idx], starts_dev[sample_idx], store.seg_len
     )
+    mats = jnp.take(trans_table, trans_idx, axis=0)
+    if num_coords == 2:
+        xy = normalize_xy_device(
+            win, store.normalization, store.vid_res, store.symm_range,
+            store.sub_mean, store.scaler_center, store.scaler_scale,
+        )
+        return apply_transforms(jnp.transpose(xy, (0, 3, 1, 2)), mats)
     win = normalize_windows_device(
         win, store.normalization, store.vid_res, store.symm_range,
         store.sub_mean, store.scaler_center, store.scaler_scale,
     )
     pose = jnp.transpose(win, (0, 3, 1, 2))  # -> [B, 3, T, V]
-    mats = jnp.take(trans_table, trans_idx, axis=0)
     return apply_transforms(pose, mats)[:, :num_coords]
 
 

@@ -112,4 +112,8 @@ def gather_batch(
     trans_idx = indices // n
     batch = jnp.take(data, sample_idx, axis=0)
     mats = jnp.take(trans_table, trans_idx, axis=0)
+    if num_coords == 2 and batch.shape[1] > 2:
+        # xy-only: the affine never reads the confidence channel, so slice
+        # before the transform and skip the concat+slice round-trip.
+        return apply_transforms(batch[:, :2], mats)
     return apply_transforms(batch, mats)[:, :num_coords]

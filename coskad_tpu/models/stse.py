@@ -46,6 +46,80 @@ def _dense(features: int, fan_in: int, use_bias: bool, name: str,
     )
 
 
+class LinearProjector(nn.Module):
+    """nn.Dense over the flattened hidden, expressed as ONE dot_general that
+    contracts the (T, V, C) axes of the 4-D hidden directly.
+
+    Identical variable tree (`kernel` [T*V*C, latent], `bias` [latent]),
+    init and math to `_dense(latent, flat)(h.reshape(B, -1))` — but the
+    flatten moves to the (tiny) weight instead of the (huge) activation, so
+    autodiff emits the hidden cotangent as [B, T, V, C] at the compute dtype
+    in the layout its consumer (the top BN backward) wants. The reshape+Dense
+    formulation materialized an f32 [B, T*V*C] cotangent plus a full layout-
+    transpose copy of it (~0.5 ms/step at B=2048, profiled on v5e —
+    RESULTS.md round 3)."""
+
+    latent_dim: int
+    fan_in: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array) -> jax.Array:
+        b, t, v, c = h.shape
+        assert t * v * c == self.fan_in, (h.shape, self.fan_in)
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init,
+            (self.fan_in, self.latent_dim), jnp.float32,
+        )
+        w4 = kernel.reshape(t, v, c, self.latent_dim).astype(self.dtype)
+        z = jax.lax.dot_general(
+            h.astype(self.dtype), w4, (((1, 2, 3), (0, 1, 2)), ((), ()))
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", torch_bias_init_from_fan(self.fan_in),
+                (self.latent_dim,), jnp.float32,
+            )
+            z = z + bias.astype(self.dtype)
+        return z
+
+
+class ReverseProjector(nn.Module):
+    """The decoder-side mirror of LinearProjector: latent [B, L] -> hidden
+    [B, H, T, V] (the reference's channel-major de-flatten,
+    models/sts/ae.py:222-226) as one dot_general whose output IS the 4-D
+    hidden — the [B, L*?]->[B, H*T*V] Dense + reshape formulation
+    materialized the flat activation twice (forward value + backward
+    cotangent, ~107 MB each at B=2048 fp32). Variable tree/init/math match
+    `_dense(flat, latent)` exactly (`kernel` [latent, H*T*V], `bias`
+    [H*T*V])."""
+
+    hidden_dimension: int
+    n_frames: int
+    n_joints: int
+    latent_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        flat = self.hidden_dimension * self.n_frames * self.n_joints
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init,
+            (self.latent_dim, flat), jnp.float32,
+        )
+        bias = self.param(
+            "bias", torch_bias_init_from_fan(self.latent_dim),
+            (flat,), jnp.float32,
+        )
+        shape4 = (self.hidden_dimension, self.n_frames, self.n_joints)
+        w4 = kernel.reshape((self.latent_dim,) + shape4).astype(self.dtype)
+        h = jax.lax.dot_general(
+            z.astype(self.dtype), w4, (((1,), (0,)), ((), ()))
+        )
+        return h + bias.reshape(shape4).astype(self.dtype)
+
+
 class STSE(nn.Module):
     """Space-Time-Separable Graph Convolutional Encoder.
 
@@ -90,8 +164,10 @@ class STSE(nn.Module):
         flat = self.hidden_dimension * self.n_frames * self.n_joints
         proj = self.projector.lower()
         if proj == "linear":
-            self.btlnk = _dense(self.latent_dim, flat, self.use_bias, "btlnk",
-                                dtype=self.dtype)
+            self.btlnk = LinearProjector(
+                latent_dim=self.latent_dim, fan_in=flat,
+                use_bias=self.use_bias, dtype=self.dtype, name="btlnk",
+            )
         elif proj == "mlp":
             hidden = list(self.projector_hidden_layers or [self.latent_dim])
             self.btlnk = MLPHead(
@@ -103,9 +179,11 @@ class STSE(nn.Module):
         else:
             raise ValueError(f"Unsupported projector {self.projector!r}")
 
-    def _apply_btlnk(self, x, train: bool):
+    def _apply_btlnk(self, x, train: bool, hidden4=None):
         if isinstance(self.btlnk, MLPHead):
             return self.btlnk(x, train=train)
+        if isinstance(self.btlnk, LinearProjector):
+            return self.btlnk(hidden4)  # contracts (T, V, C) directly
         return self.btlnk(x)
 
     def _hidden_flat(self, x, train: bool, frozen_bn: bool):
@@ -122,7 +200,7 @@ class STSE(nn.Module):
         frozen_bn trains with running BN statistics (XLA folds the BN into
         the dense layers; see RunConfig.freeze_bn_after)."""
         flat, h = self._hidden_flat(x, train, frozen_bn)
-        z = self._apply_btlnk(flat, train).astype(jnp.float32)
+        z = self._apply_btlnk(flat, train, hidden4=h).astype(jnp.float32)
         return z, h
 
     def __call__(self, x, train: bool = False, frozen_bn: bool = False):
@@ -146,13 +224,15 @@ class STSAE(STSE):
             raise ValueError(
                 f"No decoder available for encoder type {self.encoder_type!r}"
             )
-        flat = self.hidden_dimension * self.n_frames * self.n_joints
-        # rev_btlnk runs at the model compute dtype: its [B, T*V*H] output is
-        # the largest decoder-path activation (~107 MB at B=2048 in fp32) and
+        # rev_btlnk runs at the model compute dtype: its output is the
+        # largest decoder-path activation (~107 MB at B=2048 in fp32) and
         # feeds straight into the bf16 decoder stack — storing it in fp32
         # would double the dominant HBM traffic of the AE/VAE step.
-        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk",
-                                dtype=self.dtype)
+        self.rev_btlnk = ReverseProjector(
+            hidden_dimension=self.hidden_dimension, n_frames=self.n_frames,
+            n_joints=self.n_joints, latent_dim=self.latent_dim,
+            dtype=self.dtype, name="rev_btlnk",
+        )
         dec_channels = list(self.decoder_channels or self.layer_channels[::-1])
         self.decoder = STSGCNStack(
             channel_schedule=dec_channels + [self.input_dim],
@@ -167,10 +247,9 @@ class STSAE(STSE):
 
     def decode(self, z, train: bool = False, frozen_bn: bool = False):
         """latent [B, D] -> reconstruction [B, C_in, T, V]."""
+        # rev_btlnk de-flattens channel-major like the reference
+        # (models/sts/ae.py:222-226) -> [B, H, T, V]; then go channels-last.
         h = self.rev_btlnk(z)
-        # Reference reshapes (hidden, T, V) channel-major
-        # (models/sts/ae.py:222-226); mirror that, then go channels-last.
-        h = h.reshape(h.shape[0], self.hidden_dimension, self.n_frames, self.n_joints)
         h = jnp.transpose(h, (0, 2, 3, 1))
         x = self.decoder(h, train=train, frozen_bn=frozen_bn)
         return jnp.transpose(x, (0, 3, 1, 2))  # NTVC -> NCTV
@@ -215,8 +294,11 @@ class STSVAE(STSAE):
         self.fc_mean = _dense(self.latent_dim, head_in, True, "fc_mean")
         var_out = 1 if self.distribution == "ps" else self.latent_dim
         self.fc_var = _dense(var_out, head_in, True, "fc_var")
-        self.rev_btlnk = _dense(flat, self.latent_dim, True, "rev_btlnk",
-                                dtype=self.dtype)
+        self.rev_btlnk = ReverseProjector(
+            hidden_dimension=self.hidden_dimension, n_frames=self.n_frames,
+            n_joints=self.n_joints, latent_dim=self.latent_dim,
+            dtype=self.dtype, name="rev_btlnk",
+        )
         dec_channels = list(self.decoder_channels or self.layer_channels[::-1])
         self.decoder = STSGCNStack(
             channel_schedule=dec_channels + [self.input_dim],
@@ -229,7 +311,7 @@ class STSVAE(STSAE):
             name="decoder",
         )
 
-    def _apply_btlnk(self, x, train: bool):
+    def _apply_btlnk(self, x, train: bool, hidden4=None):
         if self.projector.lower() == "mlp":
             return self.btlnk(x, train=train)
         return x  # identity projector for 'linear' (models/sts/vae.py:151)

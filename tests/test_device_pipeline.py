@@ -136,6 +136,51 @@ def test_train_through_store_pipeline(tmp_path, rng):
     assert np.isfinite(history["loss"]).all()
 
 
+@pytest.mark.parametrize("norm,kwargs", [
+    ("markovitz", dict(sub_mean=True)),
+    ("markovitz", dict(sub_mean=False)),
+    ("stan", {}),
+    ("bbox", {}),
+    ("robust", {}),
+    ("none", {}),
+])
+def test_normalize_xy_matches_full(rng, norm, kwargs):
+    """normalize_xy_device == normalize_windows_device[..., :2] for every
+    strategy — the xy fast path must be a pure layout optimization."""
+    win = jnp.asarray(rng.uniform(0, 800, size=(8, 12, 17, 3)), jnp.float32)
+    # plant zeros so the robust missing-keypoint rule is exercised
+    win = win.at[0, 3, 5, :2].set(0.0)
+    skw = {}
+    if norm == "robust":
+        skw = dict(
+            scaler_center=rng.normal(size=(17, 2)).astype(np.float32),
+            scaler_scale=rng.uniform(0.5, 2.0, size=(17, 2)).astype(np.float32),
+        )
+    for symm in (False, True):
+        full = device_pipeline.normalize_windows_device(
+            win, norm, (856, 480), symm, kwargs.get("sub_mean", True), **skw)
+        fast = device_pipeline.normalize_xy_device(
+            win, norm, (856, 480), symm, kwargs.get("sub_mean", True), **skw)
+        assert fast.shape == (8, 12, 17, 2)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(full)[..., :2])
+
+
+def test_gather_batch_xy_fast_path(rng):
+    """gather_batch num_coords=2 (slice-before-transform) == the general
+    transform-then-slice path, bit for bit."""
+    from coskad_tpu.data.transforms import (
+        apply_transforms, canonical_transforms, gather_batch)
+
+    data = jnp.asarray(rng.normal(size=(20, 3, 6, 17)), jnp.float32)
+    table = jnp.asarray(canonical_transforms(5))
+    idx = jnp.asarray(np.random.default_rng(1).permutation(100)[:32])
+    fast = gather_batch(data, idx, table, num_coords=2)
+    batch = jnp.take(data, idx % 20, axis=0)
+    mats = jnp.take(table, idx // 20, axis=0)
+    ref = apply_transforms(batch, mats)[:, :2]
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+
+
 def test_load_alphapose_store_loader(tmp_path, rng):
     """The directory-level store loader (used by the CLI's device_pipeline
     knob) walks clips like load_alphapose_split: identical window metadata,

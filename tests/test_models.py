@@ -215,3 +215,39 @@ def test_full_stse_matches_torch_reference():
         h = ref_enc(torch.tensor(x_np))
         ref_z = ref_btlnk(h.reshape(4, -1)).numpy()
     np.testing.assert_allclose(np.asarray(z), ref_z, rtol=2e-3, atol=2e-4)
+
+
+def test_linear_projector_equals_flat_dense():
+    """LinearProjector (dot_general over the 4-D hidden) == Dense over the
+    flattened hidden: identical variable tree, identical math."""
+    from coskad_tpu.models.stse import LinearProjector
+
+    b, t, v, c, latent = 4, 6, 5, 8, 16
+    h = jnp.asarray(np.random.default_rng(0).normal(size=(b, t, v, c)), jnp.float32)
+    mod = LinearProjector(latent_dim=latent, fan_in=t * v * c, use_bias=True)
+    variables = mod.init(jax.random.PRNGKey(3), h)
+    z = mod.apply(variables, h)
+    k = np.asarray(variables["params"]["kernel"])
+    bias = np.asarray(variables["params"]["bias"])
+    assert k.shape == (t * v * c, latent) and bias.shape == (latent,)
+    ref = np.asarray(h).reshape(b, -1) @ k + bias
+    np.testing.assert_allclose(np.asarray(z), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_reverse_projector_equals_dense_reshape():
+    """ReverseProjector == Dense [latent -> H*T*V] + channel-major reshape
+    (the reference's de-flatten, models/sts/ae.py:222-226)."""
+    from coskad_tpu.models.stse import ReverseProjector
+
+    b, hdim, t, v, latent = 3, 8, 6, 5, 16
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(b, latent)), jnp.float32)
+    mod = ReverseProjector(hidden_dimension=hdim, n_frames=t, n_joints=v,
+                           latent_dim=latent)
+    variables = mod.init(jax.random.PRNGKey(4), z)
+    out = mod.apply(variables, z)
+    k = np.asarray(variables["params"]["kernel"])
+    bias = np.asarray(variables["params"]["bias"])
+    assert k.shape == (latent, hdim * t * v) and bias.shape == (hdim * t * v,)
+    ref = (np.asarray(z) @ k + bias).reshape(b, hdim, t, v)
+    assert out.shape == (b, hdim, t, v)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
