@@ -121,19 +121,27 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
 
     # Warmup / compile with the SAME chunk shapes as the timed runs (scan
     # length is a static shape; differing K would recompile inside timing).
+    # TWO warm epochs each: the first compiles, but the FIRST post-compile
+    # call still pays one-time costs (the returned state's committed device
+    # layouts differ from init_state's, and the dispatch pipeline is cold) —
+    # measured 5.3 ms/step on epoch 1 vs 4.48 steady-state for the same
+    # program (hyperbolic: 7.9 vs 4.44). Production epochs are steady-state,
+    # so that is what the bench times.
     # Scoring runs the fused embed+score scan (_score_many, one dispatch)
     # over as many chunks as the train epoch: per-dispatch tunnel latency is
     # 15-77 ms, so short scans would measure mostly dispatch overhead.
     k_score = TRAIN_STEPS_TIMED
     chunks = idx_chunks(TRAIN_STEPS_TIMED)
     score_chunks_warm = idx_chunks(k_score)
-    state, m = trainer._train_epoch(state, trainer.train_data, chunks)
-    jax.block_until_ready(m["loss"])
-    warm_scores, _ = trainer._score_many(
-        state.params, state.batch_stats, trainer.train_data,
-        score_chunks_warm, state.rng, state.center, state.inv_cov,
-        state.mean_vector)
-    jax.block_until_ready(warm_scores)
+    for _ in range(2):
+        state, m = trainer._train_epoch(state, trainer.train_data, chunks)
+        jax.block_until_ready(m["loss"])
+    for _ in range(2):
+        warm_scores, _ = trainer._score_many(
+            state.params, state.batch_stats, trainer.train_data,
+            score_chunks_warm, state.rng, state.center, state.inv_cov,
+            state.mean_vector)
+        jax.block_until_ready(warm_scores)
     t0 = time.perf_counter()
     state, m = trainer._train_epoch(state, trainer.train_data, chunks)
     jax.block_until_ready(m["loss"])

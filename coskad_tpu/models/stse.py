@@ -87,13 +87,16 @@ class LinearProjector(nn.Module):
 
 class ReverseProjector(nn.Module):
     """The decoder-side mirror of LinearProjector: latent [B, L] -> hidden
-    [B, H, T, V] (the reference's channel-major de-flatten,
-    models/sts/ae.py:222-226) as one dot_general whose output IS the 4-D
-    hidden — the [B, L*?]->[B, H*T*V] Dense + reshape formulation
-    materialized the flat activation twice (forward value + backward
-    cotangent, ~107 MB each at B=2048 fp32). Variable tree/init/math match
-    `_dense(flat, latent)` exactly (`kernel` [latent, H*T*V], `bias`
-    [H*T*V])."""
+    [B, T, V, H] — the reference's channel-major de-flatten
+    (models/sts/ae.py:222-226) composed with the channels-last transpose the
+    decoder stack consumes — as one dot_general whose output IS the 4-D
+    hidden in its consumer's layout. The [B, L]->[B, H*T*V] Dense + reshape
+    + transpose formulation materialized the flat activation twice (forward
+    value + backward cotangent, ~107 MB each at B=2048 fp32) plus a full
+    [B, H, T, V]->[B, T, V, H] copy each direction; here both the de-flatten
+    and the transpose move to the (tiny, ~1.7 MB) weight. Variable
+    tree/init/math match `_dense(flat, latent)` exactly (`kernel`
+    [latent, H*T*V] in channel-major flat order, `bias` [H*T*V])."""
 
     hidden_dimension: int
     n_frames: int
@@ -114,10 +117,12 @@ class ReverseProjector(nn.Module):
         )
         shape4 = (self.hidden_dimension, self.n_frames, self.n_joints)
         w4 = kernel.reshape((self.latent_dim,) + shape4).astype(self.dtype)
+        w4 = jnp.transpose(w4, (0, 2, 3, 1))  # [L, T, V, H]
         h = jax.lax.dot_general(
             z.astype(self.dtype), w4, (((1,), (0,)), ((), ()))
         )
-        return h + bias.reshape(shape4).astype(self.dtype)
+        b4 = jnp.transpose(bias.reshape(shape4), (1, 2, 0))  # [T, V, H]
+        return h + b4.astype(self.dtype)
 
 
 class STSE(nn.Module):
@@ -248,9 +253,9 @@ class STSAE(STSE):
     def decode(self, z, train: bool = False, frozen_bn: bool = False):
         """latent [B, D] -> reconstruction [B, C_in, T, V]."""
         # rev_btlnk de-flattens channel-major like the reference
-        # (models/sts/ae.py:222-226) -> [B, H, T, V]; then go channels-last.
+        # (models/sts/ae.py:222-226) and emits channels-last [B, T, V, H]
+        # directly (the transpose lives on the weight).
         h = self.rev_btlnk(z)
-        h = jnp.transpose(h, (0, 2, 3, 1))
         x = self.decoder(h, train=train, frozen_bn=frozen_bn)
         return jnp.transpose(x, (0, 3, 1, 2))  # NTVC -> NCTV
 

@@ -2,7 +2,7 @@
 pipeline) and print the per-kernel device table — decomposes the gap
 between the whole step (~8 ms) and the bare XLA encode fwd+bwd (~5 ms).
 
-    python scripts/profile_step.py [store|windows] [bfloat16|float32]
+    python scripts/profile_step.py [store|windows] [bfloat16|float32] [variant]
 """
 
 import sys
@@ -24,13 +24,14 @@ import bench  # noqa: E402
 def main():
     pipeline = sys.argv[1] if len(sys.argv) > 1 else "store"
     dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    variant = sys.argv[3] if len(sys.argv) > 3 else "euclidean_static"
     from coskad_tpu.config import (Config, DataConfig, ModelConfig,
                                    OptConfig, RunConfig)
     from coskad_tpu.parallel import create_mesh
     from coskad_tpu.train.loop import Trainer
 
     cfg = Config(
-        model=ModelConfig(variant="euclidean_static",
+        model=ModelConfig(variant=variant,
                           channels=bench.CHANNELS, h_dim=bench.H_DIM,
                           latent_dim=bench.LATENT),
         data=DataConfig(seg_len=bench.T, batch_size=bench.BATCH,
@@ -51,7 +52,7 @@ def main():
 
     state, m = trainer._train_epoch(state, trainer.train_data, idx)
     jax.block_until_ready(m["loss"])
-    log_dir = f"/tmp/step_trace_{pipeline}_{dtype}"
+    log_dir = f"/tmp/step_trace_{pipeline}_{dtype}_{variant}"
     jax.profiler.start_trace(log_dir)
     state, m = trainer._train_epoch(state, trainer.train_data, idx)
     jax.block_until_ready(m["loss"])

@@ -236,7 +236,8 @@ def test_linear_projector_equals_flat_dense():
 
 def test_reverse_projector_equals_dense_reshape():
     """ReverseProjector == Dense [latent -> H*T*V] + channel-major reshape
-    (the reference's de-flatten, models/sts/ae.py:222-226)."""
+    (the reference's de-flatten, models/sts/ae.py:222-226) + channels-last
+    transpose."""
     from coskad_tpu.models.stse import ReverseProjector
 
     b, hdim, t, v, latent = 3, 8, 6, 5, 16
@@ -248,6 +249,6 @@ def test_reverse_projector_equals_dense_reshape():
     k = np.asarray(variables["params"]["kernel"])
     bias = np.asarray(variables["params"]["bias"])
     assert k.shape == (latent, hdim * t * v) and bias.shape == (hdim * t * v,)
-    ref = (np.asarray(z) @ k + bias).reshape(b, hdim, t, v)
-    assert out.shape == (b, hdim, t, v)
+    ref = (np.asarray(z) @ k + bias).reshape(b, hdim, t, v).transpose(0, 2, 3, 1)
+    assert out.shape == (b, t, v, hdim)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
