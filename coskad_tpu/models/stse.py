@@ -296,9 +296,23 @@ class STSVAE(STSAE):
         # LOSE ~25% VAE train throughput vs this fp32 layout — XLA already
         # keeps the flat hidden fused, and bf16 here only breaks that
         # fusion. Heads stay fp32; rev_btlnk follows STSAE (compute dtype).
-        self.fc_mean = _dense(self.latent_dim, head_in, True, "fc_mean")
         var_out = 1 if self.distribution == "ps" else self.latent_dim
-        self.fc_var = _dense(var_out, head_in, True, "fc_var")
+        if proj == "mlp":
+            self.fc_mean = _dense(self.latent_dim, head_in, True, "fc_mean")
+            self.fc_var = _dense(var_out, head_in, True, "fc_var")
+        else:
+            # Identity projector: the heads read the FLAT hidden
+            # (models/sts/vae.py:151-156). Same dot_general formulation as
+            # LinearProjector — contract (T, V, C) of the 4-D hidden in fp32
+            # — so neither the fp32 [B, T*V*C] flat value nor its cotangent
+            # (226 MB each at B=2048) ever materializes. Identical variable
+            # tree/init/math to Dense over the flat hidden.
+            self.fc_mean = LinearProjector(
+                latent_dim=self.latent_dim, fan_in=head_in, use_bias=True,
+                name="fc_mean")
+            self.fc_var = LinearProjector(
+                latent_dim=var_out, fan_in=head_in, use_bias=True,
+                name="fc_var")
         self.rev_btlnk = ReverseProjector(
             hidden_dimension=self.hidden_dimension, n_frames=self.n_frames,
             n_joints=self.n_joints, latent_dim=self.latent_dim,
@@ -323,7 +337,11 @@ class STSVAE(STSAE):
 
     def encode_distribution(self, x, train: bool = False, frozen_bn: bool = False):
         """-> (z_mean [B, D], z_var [B, D or 1])."""
-        z, _ = self.encode(x, train=train, frozen_bn=frozen_bn)
+        z, h = self.encode(x, train=train, frozen_bn=frozen_bn)
+        if isinstance(self.fc_mean, LinearProjector):
+            # linear (identity) projector: heads contract the 4-D hidden
+            # directly; the flat fp32 z is dead code XLA eliminates.
+            z = h
         z_mean = self.fc_mean(z)
         if self.distribution == "ps":
             z_mean = z_mean / jnp.linalg.norm(z_mean, axis=-1, keepdims=True)
