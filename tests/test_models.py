@@ -252,3 +252,31 @@ def test_reverse_projector_equals_dense_reshape():
     ref = (np.asarray(z) @ k + bias).reshape(b, hdim, t, v).transpose(0, 2, 3, 1)
     assert out.shape == (b, t, v, hdim)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_vae_linear_heads_match_dense_over_flat():
+    """STSVAE with the identity ('linear') projector: the LinearProjector
+    heads produce exactly Dense-over-flat-hidden outputs (same params tree,
+    fp32 math) — the head swap is a pure layout optimization."""
+    model = STSVAE(input_dim=2, layer_channels=(8,), hidden_dimension=8,
+                   latent_dim=4, n_frames=6, n_joints=5,
+                   decoder_channels=(8,), distribution="normal",
+                   projector="linear")
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(3, 2, 6, 5)), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}, x
+    )
+    z_mean, z_var = model.apply(
+        variables, x, method=lambda m, x: m.encode_distribution(x)
+    )
+    # oracle: flat hidden -> dense heads
+    _, h = model.apply(variables, x, method=lambda m, x: m.encode(x))
+    flat = np.asarray(h, np.float32).reshape(3, -1)
+    p = variables["params"]
+    mean_ref = flat @ np.asarray(p["fc_mean"]["kernel"]) + np.asarray(
+        p["fc_mean"]["bias"])
+    var_ref = flat @ np.asarray(p["fc_var"]["kernel"]) + np.asarray(
+        p["fc_var"]["bias"])
+    np.testing.assert_allclose(np.asarray(z_mean), mean_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(z_var), np.logaddexp(0.0, var_ref) + 1.0, rtol=1e-4, atol=1e-5)
