@@ -27,6 +27,7 @@ import functools
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.flatten_util  # ravel_pytree (flat-carry scanned epochs)
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -103,15 +104,37 @@ class Trainer:
         )
         self.batch_size = cfg.data.batch_size
         self._lr = cfg.opt.lr
-        # optax.flatten: Adam runs over ONE flat parameter vector instead of
-        # 40+ small tensors. The model is <300k params, so the update is
-        # trivial FLOPs but each per-tensor op is a separate TPU dispatch —
-        # profiling showed the step's op-launch floor rivals its compute.
+        # Adam runs over ONE flat parameter vector instead of ~60 small
+        # tensors: the model is <600k params, so the update is trivial FLOPs
+        # but each per-tensor op is a separate kernel — profiling showed the
+        # step's op-launch floor rivals its compute. Two flavors sharing the
+        # SAME opt_state pytree (optax.flatten carries no state of its own,
+        # so checkpoints are interchangeable):
+        #   - self._tx_inner: the transform applied directly to a flat
+        #     vector. The scanned epoch keeps params RAVELED across the whole
+        #     scan (_train_epoch_impl), so per-step grads come out of
+        #     autodiff already concatenated (the transpose of one in-trace
+        #     unravel) and no per-step split/unflatten exists at all —
+        #     optax.flatten paid a concat + split + per-leaf add every step.
+        #     Measured (quiet-host A/B, v5e-1, B=2048): euclidean train step
+        #     4.37 -> 4.01 ms (+8% train w/s); AE/VAE neutral (their step is
+        #     decoder-compute-dominated). RESULTS.md round 3.
+        #   - self.tx = optax.flatten(_tx_inner) for tree-shaped single-step
+        #     calls (tests, graft entry) and the tensor-parallel path, where
+        #     the projector kernels carry mesh shardings a raveled carry
+        #     would discard.
+        # `tx` is a property so replacing the optimizer (tests swap in SGD
+        # via `trainer.tx = ...`) keeps BOTH flavors in sync; the two share
+        # the same opt_state pytree (optax.flatten carries no state of its
+        # own), so checkpoints are interchangeable between them.
         # inject_hyperparams sits INSIDE so opt_state.hyperparams (the lr
-        # the schedulers mutate) keeps its path.
-        self.tx = optax.flatten(
-            optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr)
+        # the schedulers mutate) keeps its path in both flavors.
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=cfg.opt.lr
         )
+        # Flat-carry scanned epochs only when params are replicated (TP=1):
+        # ravel_pytree would silently all-gather model-parallel shards.
+        self._flat_carry = self.mesh.shape[pmesh.MODEL_AXIS] == 1
 
         # HBM-resident training data, replicated over the mesh (read-only).
         # Two pipelines: materialized windows (SegmentDataset) or the fused
@@ -176,6 +199,18 @@ class Trainer:
                 "fused_train='on' requires sts_gcn encoder, linear projector, "
                 "dropout 0, an encoder-only variant and model_parallel 1"
             )
+
+    @property
+    def tx(self):
+        """Tree-shaped optimizer view: optax.flatten over the inner
+        transform. Assigning a plain transform (tests swap in SGD) updates
+        both this and the flat-vector flavor the scanned epoch uses."""
+        return self._tx_flat
+
+    @tx.setter
+    def tx(self, transform):
+        self._tx_inner = transform
+        self._tx_flat = optax.flatten(transform)
 
     def _fused_apply(self, params, batch_stats, batch):
         """Fused-kernel train-mode encode, shard_map'ed over the data axis
@@ -301,12 +336,19 @@ class Trainer:
 
     def _train_step_impl(
         self, state: TrainState, data: jax.Array, indices: jax.Array,
-        frozen_bn: bool = False, vae_draws=None,
+        frozen_bn: bool = False, vae_draws=None, *, unravel=None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        """One SGD step. With `unravel` (the scanned flat-carry epoch),
+        state.params is the raveled [P] vector: gradients are taken w.r.t.
+        the flat vector directly (autodiff of the in-trace unravel emits the
+        leaf-grad concatenation) and Adam applies to it with no per-step
+        split/unflatten; the tree view exists only transiently inside
+        loss_fn for the model apply."""
         rng, step_rng = jax.random.split(state.rng)
         batch = self._gather(data, indices)
 
-        def loss_fn(params):
+        def loss_fn(p):
+            params = unravel(p) if unravel is not None else p
             out, new_bs = self._forward(
                 params, state.batch_stats, batch, train=True, rng=step_rng,
                 frozen_bn=frozen_bn, vae_draws=vae_draws,
@@ -339,7 +381,8 @@ class Trainer:
         (loss, (metrics, new_bs, z)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        tx = self._tx_inner if unravel is not None else self.tx
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         acc = objectives.accumulate_stats(
             (state.acc_vec, state.acc_weight, state.acc_outer),
@@ -364,15 +407,28 @@ class Trainer:
         self, state: TrainState, data: jax.Array, indices: jax.Array,
         frozen_bn: bool = False,
     ):
-        """Scan K train steps in one compiled program. indices: [K, B]."""
+        """Scan K train steps in one compiled program. indices: [K, B].
+
+        With a flat carry (TP=1), params are raveled ONCE here — the scan
+        carries a single [P] vector (one while-loop buffer instead of ~60,
+        shrinking the per-step async-copy floor) and each step's Adam runs
+        flat with no split/unflatten — then unraveled once on exit, so the
+        caller-visible TrainState keeps its tree form."""
+        unravel = None
+        if self._flat_carry:
+            flat, unravel = jax.flatten_util.ravel_pytree(state.params)
+            state = state.replace(params=flat)
 
         def body(carry, idx):
             new_carry, metrics = self._train_step_impl(
-                carry, data, idx, frozen_bn=frozen_bn
+                carry, data, idx, frozen_bn=frozen_bn, unravel=unravel
             )
             return new_carry, metrics
 
-        return jax.lax.scan(body, state, indices)
+        state, metrics = jax.lax.scan(body, state, indices)
+        if unravel is not None:
+            state = state.replace(params=unravel(state.params))
+        return state, metrics
 
     def _embed_step_impl(
         self, params, batch_stats, data, indices, rng
