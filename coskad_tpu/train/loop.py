@@ -339,11 +339,11 @@ class Trainer:
         frozen_bn: bool = False, vae_draws=None, *, unravel=None,
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         """One SGD step. With `unravel` (the scanned flat-carry epoch),
-        state.params is the raveled [P] vector: gradients are taken w.r.t.
-        the flat vector directly (autodiff of the in-trace unravel emits the
-        leaf-grad concatenation) and Adam applies to it with no per-step
-        split/unflatten; the tree view exists only transiently inside
-        loss_fn for the model apply."""
+        state.params is the raveled, tile-padded [rows, 1024] matrix:
+        gradients are taken w.r.t. it directly (autodiff of the in-trace
+        unravel emits the leaf-grad concatenation) and Adam applies to it
+        with no per-step split/unflatten; the tree view exists only
+        transiently inside loss_fn for the model apply."""
         rng, step_rng = jax.random.split(state.rng)
         batch = self._gather(data, indices)
 
@@ -410,14 +410,73 @@ class Trainer:
         """Scan K train steps in one compiled program. indices: [K, B].
 
         With a flat carry (TP=1), params are raveled ONCE here — the scan
-        carries a single [P] vector (one while-loop buffer instead of ~60,
+        carries a single matrix (one while-loop buffer instead of ~60,
         shrinking the per-step async-copy floor) and each step's Adam runs
         flat with no split/unflatten — then unraveled once on exit, so the
-        caller-visible TrainState keeps its tree form."""
+        caller-visible TrainState keeps its tree form.
+
+        The carry is a zero-padded [rows, 1024] matrix with each LEAF packed
+        into its own whole rows (1024 f32 = one (8,128) tile per row), NOT
+        the bare concatenated [P] vector: every per-step elementwise op on
+        it (Adam, the grad transpose) is tile-aligned, and rebuilding the
+        tree slices row-ranges per leaf without ever materializing a 1-D
+        view of the whole buffer. Both alternatives were profiled out on the
+        AE at B=2048: the raw ravel_pytree vector AND a densely-packed
+        matrix whose unravel went through `.reshape(-1)` each made XLA
+        re-tile the full buffer as f32[P/2, 2] plus a layout copy every
+        step (0.40 ms/step, round-3 trace at loop.py:445). Adam's moments
+        ride the same transform at entry/exit; padding lanes stay exactly
+        zero under Adam (zero grad -> zero moments -> zero update) and the
+        equivalence to the tree path is asserted by
+        tests/test_train.py::test_flat_carry_epoch_matches_tree_steps."""
         unravel = None
-        if self._flat_carry:
-            flat, unravel = jax.flatten_util.ravel_pytree(state.params)
-            state = state.replace(params=flat)
+        leaves, treedef = jax.tree_util.tree_flatten(state.params)
+        if self._flat_carry and all(l.dtype == jnp.float32 for l in leaves):
+            lanes = 1024
+            shapes = [l.shape for l in leaves]
+            sizes = [l.size for l in leaves]
+            row_counts = [-(-s // lanes) for s in sizes]
+            starts = np.concatenate([[0], np.cumsum(row_counts)])
+            rows = int(starts[-1])
+
+            def to_mat(tree_leaves):
+                blocks = [
+                    jnp.pad(l.reshape(-1), (0, k * lanes - s)).reshape(k, lanes)
+                    for l, s, k in zip(tree_leaves, sizes, row_counts)
+                ]
+                return jnp.concatenate(blocks, axis=0)
+
+            def unravel(m):
+                outs = [
+                    m[starts[i]:starts[i + 1]].reshape(-1)[:sizes[i]]
+                    .reshape(shapes[i])
+                    for i in range(len(sizes))
+                ]
+                return jax.tree_util.tree_unflatten(treedef, outs)
+
+            def opt_to_mat(x):
+                # optax.flatten state leaves (Adam mu/nu) are the raveled
+                # [P] vector; re-pack them leaf-aligned like the params.
+                if x.ndim == 1 and x.shape[0] == sum(sizes):
+                    bounds = np.concatenate([[0], np.cumsum(sizes)])
+                    return to_mat([
+                        x[bounds[i]:bounds[i + 1]].reshape(shapes[i])
+                        for i in range(len(sizes))
+                    ])
+                return x
+
+            def from_mat(x):
+                if x.ndim == 2 and x.shape == (rows, lanes):
+                    return jnp.concatenate(
+                        [l.reshape(-1) for l in
+                         jax.tree_util.tree_leaves(unravel(x))]
+                    )
+                return x
+
+            state = state.replace(
+                params=to_mat(leaves),
+                opt_state=jax.tree_util.tree_map(opt_to_mat, state.opt_state),
+            )
 
         def body(carry, idx):
             new_carry, metrics = self._train_step_impl(
@@ -427,7 +486,10 @@ class Trainer:
 
         state, metrics = jax.lax.scan(body, state, indices)
         if unravel is not None:
-            state = state.replace(params=unravel(state.params))
+            state = state.replace(
+                params=unravel(state.params),
+                opt_state=jax.tree_util.tree_map(from_mat, state.opt_state),
+            )
         return state, metrics
 
     def _embed_step_impl(

@@ -292,3 +292,42 @@ def test_bfloat16_compute_traces_with_fp32_boundaries(variant):
         state.params, state.batch_stats, trainer2.train_data, idx, state.rng,
     )
     assert z.dtype == jnp.float32  # latents stay fp32 for the geometry
+
+
+@pytest.mark.parametrize("variant", ["euclidean_static", "autoencoder"])
+def test_flat_carry_epoch_matches_tree_steps(variant):
+    """The flat-carry scanned epoch (params raveled into one tile-padded
+    [rows, 1024] matrix, Adam applied flat — loop.py:_train_epoch_impl)
+    produces the SAME params/opt-state as stepping the tree path: the
+    padding lanes contribute nothing (zero grad -> zero Adam moments ->
+    zero update) and the transform restores tree shapes on exit."""
+    trainer, cfg = _make_trainer(variant)
+    assert trainer._flat_carry  # default single-device mesh: TP=1
+    b = cfg.data.batch_size
+    idx = np.arange(2 * b).reshape(2, b) % len(trainer.train_ds)
+
+    # the jitted paths donate the state buffers -> build each start state
+    # fresh (init_state is seed-deterministic).
+    epoch_state, _ = trainer._train_epoch(
+        trainer.init_state(), trainer.train_data, jnp.asarray(idx))
+
+    step_state = trainer.init_state()
+    for k in range(2):
+        step_state, _ = trainer._train_step(
+            step_state, trainer.train_data, jnp.asarray(idx[k]))
+
+    for a, b_ in zip(jax.tree_util.tree_leaves(epoch_state.params),
+                     jax.tree_util.tree_leaves(step_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-7)
+    # opt_state leaf shapes restored (mu/nu back to the flat [P] form the
+    # tree path / checkpoints use) and values match.
+    for a, b_ in zip(jax.tree_util.tree_leaves(epoch_state.opt_state),
+                     jax.tree_util.tree_leaves(step_state.opt_state)):
+        assert np.shape(a) == np.shape(b_)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-7)
+    # The restored state feeds straight back into another scanned epoch.
+    again, metrics = trainer._train_epoch(
+        epoch_state, trainer.train_data, jnp.asarray(idx))
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
