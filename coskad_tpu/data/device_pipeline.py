@@ -41,9 +41,19 @@ from .windows import (
 
 @dataclass
 class TrajectoryStore:
-    """Device-resident trajectories + host-side window index tables."""
+    """Device-resident trajectories + host-side window index tables.
 
-    traj: jax.Array  # [P, F_max, V, 3] float32 (zero padded)
+    `traj` is stored FLAT as [P, F_max, V*C] (not [P, F_max, V, C]): the
+    minor dim is then 54 lanes of a 128-lane tile (~42% utilization) instead
+    of C=3 (~2%), and the per-window gather is one [1, T, V*C] contiguous
+    slice per window instead of B*T tiny [V, C] row gathers — measured ~5x
+    faster on v5e (scripts/probe_gather.py; the gather was the single
+    largest kernel of the scoring scan at ~25% of its device time).
+    `kp_shape` carries (V, C) for the reshape back after gathering.
+    """
+
+    traj: jax.Array  # [P, F_max, V*C] float32 (zero padded)
+    kp_shape: Tuple[int, int]  # (V, C) of the flattened minor dim
     window_person: np.ndarray  # [N] int32 row into traj
     window_start: np.ndarray  # [N] int32 start row within the trajectory
     meta: np.ndarray  # [N, 4] scene, clip, person, start_frame
@@ -130,7 +140,8 @@ def build_store(
     for i, p in enumerate(persons):
         padded[i, : p.shape[0]] = p
     return TrajectoryStore(
-        traj=jnp.asarray(padded),
+        traj=jnp.asarray(padded.reshape(len(persons), f_max, v * f)),
+        kp_shape=(v, f),
         window_person=np.asarray(w_person, np.int32),
         window_start=np.asarray(w_start, np.int32),
         meta=np.asarray(meta, np.int64),
@@ -147,10 +158,29 @@ def build_store(
 
 
 def gather_windows(traj: jax.Array, person: jax.Array, start: jax.Array,
-                   seg_len: int) -> jax.Array:
-    """[P, F, V, 3] + per-window (person, start) -> [B, T, V, 3] (in-jit)."""
-    rows = start[:, None] + jnp.arange(seg_len)[None, :]  # [B, T]
-    return traj[person[:, None], rows]
+                   seg_len: int, kp_shape: Tuple[int, int]) -> jax.Array:
+    """[P, F, V*C] + per-window (person, start) -> [B, T, V, C] (in-jit).
+
+    Window content is seg_len CONSECUTIVE trajectory rows, so this is ONE
+    lax.gather of [1, T, V*C] contiguous slices at B start positions — B*T
+    times fewer, T times larger slices than the advanced-indexing form
+    `traj[person[:, None], rows]`, and the flat V*C minor dim keeps the
+    lanes ~42% utilized instead of ~2% (see TrajectoryStore). Bit-identical
+    output (scripts/probe_gather.py / tests/test_device_pipeline.py)."""
+    v, c = kp_shape
+    starts = jnp.stack([person, start], axis=-1).astype(jnp.int32)  # [B, 2]
+    win = jax.lax.gather(
+        traj,
+        starts,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1),
+        ),
+        slice_sizes=(1, seg_len, v * c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return win.reshape(win.shape[0], seg_len, v, c)
 
 
 def normalize_windows_device(
@@ -268,7 +298,8 @@ def gather_batch_from_store(
     sample_idx = indices % n
     trans_idx = indices // n
     win = gather_windows(
-        traj, persons_dev[sample_idx], starts_dev[sample_idx], store.seg_len
+        traj, persons_dev[sample_idx], starts_dev[sample_idx], store.seg_len,
+        store.kp_shape,
     )
     mats = jnp.take(trans_table, trans_idx, axis=0)
     if num_coords == 2:
@@ -287,7 +318,9 @@ def gather_batch_from_store(
 
 def to_segment_dataset_host(store: TrajectoryStore) -> SegmentDataset:
     """Materialize the store on the host (for comparisons/tests)."""
-    traj = np.asarray(store.traj)
+    v, c = store.kp_shape
+    traj = np.asarray(store.traj).reshape(store.traj.shape[0],
+                                          store.traj.shape[1], v, c)
     win = traj[store.window_person[:, None],
                store.window_start[:, None] + np.arange(store.seg_len)[None, :]]
     win = np.asarray(
