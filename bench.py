@@ -75,7 +75,8 @@ def _bench_dataset(pipeline: str):
 
 def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
                 fused_train: str = "off",
-                variant: str = "euclidean_static") -> dict:
+                variant: str = "euclidean_static",
+                frozen_bn: bool = False) -> dict:
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -134,7 +135,8 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
     chunks = idx_chunks(TRAIN_STEPS_TIMED)
     score_chunks_warm = idx_chunks(k_score)
     for _ in range(2):
-        state, m = trainer._train_epoch(state, trainer.train_data, chunks)
+        state, m = trainer._train_epoch(state, trainer.train_data, chunks,
+                                        frozen_bn=frozen_bn)
         jax.block_until_ready(m["loss"])
     for _ in range(2):
         warm_scores, _ = trainer._score_many(
@@ -143,7 +145,8 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
             state.mean_vector)
         jax.block_until_ready(warm_scores)
     t0 = time.perf_counter()
-    state, m = trainer._train_epoch(state, trainer.train_data, chunks)
+    state, m = trainer._train_epoch(state, trainer.train_data, chunks,
+                                    frozen_bn=frozen_bn)
     jax.block_until_ready(m["loss"])
     train_time = time.perf_counter() - t0
     train_wps = BATCH * TRAIN_STEPS_TIMED / train_time
@@ -297,34 +300,43 @@ def main():
     # tests/test_cli_e2e.py::test_cli_device_pipeline_matches_windows_pipeline.
     # Secondary configs: materialized windows at bf16, and fp32.
     configs = [
-        ("store", "bfloat16", "euclidean_static"),
-        ("windows", "bfloat16", "euclidean_static"),
-        ("windows", "float32", "euclidean_static"),
+        ("store", "bfloat16", "euclidean_static", False),
+        ("windows", "bfloat16", "euclidean_static", False),
+        ("windows", "float32", "euclidean_static", False),
         # All five reference variants (train_COSKAD.py:36-55 dispatch),
         # measured with the same harness on the store pipeline.
-        ("store", "bfloat16", "euclidean_dynamic"),
-        ("store", "bfloat16", "autoencoder"),
-        ("store", "bfloat16", "vae"),
-        ("store", "bfloat16", "hyperbolic"),
+        ("store", "bfloat16", "euclidean_dynamic", False),
+        ("store", "bfloat16", "autoencoder", False),
+        ("store", "bfloat16", "vae", False),
+        ("store", "bfloat16", "hyperbolic", False),
+        # Late-epoch production mode: BatchNorm on running statistics
+        # (`freeze_bn_after`; XLA folds the BN affine into the dense
+        # layers). AUC parity-band verified (0.9928 vs 0.9920 live,
+        # RESULTS.md); NOT the headline because the reference trains
+        # live-BN throughout.
+        ("store", "bfloat16", "euclidean_static", True),
     ]
     if len(sys.argv) > 1:  # bench.py windows bfloat16 [variant] — one config
         configs = [(sys.argv[1],
                     sys.argv[2] if len(sys.argv) > 2 else "bfloat16",
-                    sys.argv[3] if len(sys.argv) > 3 else "euclidean_static")]
-    details = {}
-    for pipeline, dtype, variant in configs:
+                    sys.argv[3] if len(sys.argv) > 3 else "euclidean_static",
+                    len(sys.argv) > 4 and sys.argv[4] == "frozen")]
+    def config_key(pipeline, dtype, variant, frozen):
         key = (f"{pipeline}_{dtype}" if variant == "euclidean_static"
                else f"variant_{variant}")
+        return key + ("_frozen_bn" if frozen else "")
+
+    details = {}
+    for pipeline, dtype, variant, frozen in configs:
+        key = config_key(pipeline, dtype, variant, frozen)
         try:
-            details[key] = measure_tpu(pipeline, dtype, variant=variant)
+            details[key] = measure_tpu(pipeline, dtype, variant=variant,
+                                       frozen_bn=frozen)
         except Exception as e:
             log(f"[bench] {pipeline}/{dtype}/{variant} failed: {e}")
             if not details:
                 raise  # headline config must succeed
-    head_key = (f"{configs[0][0]}_{configs[0][1]}"
-                if configs[0][2] == "euclidean_static"
-                else f"variant_{configs[0][2]}")
-    value = details[head_key]["combined_wps_per_chip"]
+    value = details[config_key(*configs[0])]["combined_wps_per_chip"]
     try:
         baseline = measure_cpu_baseline()
     except Exception as e:  # torch missing or measurement failure
