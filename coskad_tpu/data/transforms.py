@@ -93,6 +93,7 @@ def gather_batch(
     indices: jax.Array,
     trans_table: jax.Array,
     num_coords: int = 2,
+    window_shape=None,
 ) -> jax.Array:
     """Device-side batch construction from HBM-resident windows.
 
@@ -102,7 +103,12 @@ def gather_batch(
     `num_coords` channels.
 
     Args:
-        data: [N, C, T, V] resident window tensor.
+        data: [N, C, T, V] resident window tensor, or FLAT [N, C*T*V] with
+            `window_shape` = (C, T, V). The flat layout puts C*T*V (=648)
+            on the lanes (~84% of the 128-lane tiles) instead of V=18
+            (~14%), so the row gather reads ~6x less padding — the same
+            effect as the TrajectoryStore flat layout (RESULTS.md round 3).
+            Trainer._device_data uploads windows flat.
         indices: [B] logical indices.
         trans_table: [K, 3, 3].
         num_coords: channels to keep (reference keeps x, y).
@@ -111,6 +117,8 @@ def gather_batch(
     sample_idx = indices % n
     trans_idx = indices // n
     batch = jnp.take(data, sample_idx, axis=0)
+    if window_shape is not None and batch.ndim == 2:
+        batch = batch.reshape((batch.shape[0],) + tuple(window_shape))
     mats = jnp.take(trans_table, trans_idx, axis=0)
     if num_coords == 2 and batch.shape[1] > 2:
         # xy-only: the affine never reads the confidence channel, so slice

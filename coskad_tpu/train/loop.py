@@ -259,7 +259,13 @@ class Trainer:
                  jnp.asarray(ds.window_start)),
                 self.mesh,
             )
-        return pmesh.device_put_replicated(jnp.asarray(ds.data), self.mesh)
+        # Windows upload FLAT [N, C*T*V]: the row gather then reads 648-lane
+        # rows (~84% tile utilization) instead of [C, 12, 18] blocks whose
+        # V=18 minor dim wastes ~86% of every 128-lane tile (same physics as
+        # the TrajectoryStore flat layout; gather_batch reshapes back).
+        n = ds.data.shape[0]
+        return pmesh.device_put_replicated(
+            jnp.asarray(ds.data.reshape(n, -1)), self.mesh)
 
     # ------------------------------------------------------------ setup
 
@@ -331,7 +337,8 @@ class Trainer:
                 self.trans_table, self.cfg.model.num_coords,
             )
         return gather_batch(
-            data, indices, self.trans_table, self.cfg.model.num_coords
+            data, indices, self.trans_table, self.cfg.model.num_coords,
+            window_shape=self.train_ds.data.shape[1:],
         )
 
     def _train_step_impl(
