@@ -144,23 +144,32 @@ def measure_tpu(pipeline: str = "windows", dtype: str = "bfloat16",
             score_chunks_warm, state.rng, state.center, state.inv_cov,
             state.mean_vector)
         jax.block_until_ready(warm_scores)
-    t0 = time.perf_counter()
-    state, m = trainer._train_epoch(state, trainer.train_data, chunks,
-                                    frozen_bn=frozen_bn)
-    jax.block_until_ready(m["loss"])
-    train_time = time.perf_counter() - t0
+    # Best-of-2 timed passes: single draws through the tunnel carry ±10-15%
+    # run-to-run variance (observed: the same scoring program measured 1.33
+    # vs 1.92 ms/batch across two full-bench runs); the min of two back-to-
+    # back epochs is a far stabler estimate for one extra ~0.4 s pass.
+    train_time = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state, m = trainer._train_epoch(state, trainer.train_data, chunks,
+                                        frozen_bn=frozen_bn)
+        jax.block_until_ready(m["loss"])
+        train_time = min(train_time, time.perf_counter() - t0)
     train_wps = BATCH * TRAIN_STEPS_TIMED / train_time
 
     # Timed scoring pass (gather + eval forward + variant distance), one
     # scanned dispatch.
     n_score = BATCH * k_score
     score_chunks = idx_chunks(k_score)
-    t0 = time.perf_counter()
-    scores, _recs = trainer._score_many(
-        state.params, state.batch_stats, trainer.train_data, score_chunks,
-        state.rng, state.center, state.inv_cov, state.mean_vector)
-    jax.block_until_ready(scores)
-    score_time = time.perf_counter() - t0
+    score_time = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        scores, _recs = trainer._score_many(
+            state.params, state.batch_stats, trainer.train_data,
+            score_chunks, state.rng, state.center, state.inv_cov,
+            state.mean_vector)
+        jax.block_until_ready(scores)
+        score_time = min(score_time, time.perf_counter() - t0)
     score_wps = n_score / score_time
 
     # Combined epoch-equivalent throughput: train + score each window once.
