@@ -134,6 +134,16 @@ def build_store(
                 fids.append(keys[start : start + seg_len])
     if not w_person:
         raise ValueError("no valid windows")
+    # gather_windows uses GatherScatterMode.CLIP, which clamps the slice
+    # START (not each row) — semantically different from per-row clamping
+    # for out-of-range starts. It relies on every window being fully
+    # in-bounds for its person's trajectory; assert that invariant here, on
+    # the host, where violations are cheap to catch.
+    for row, start in zip(w_person, w_start):
+        assert 0 <= start and start + seg_len <= persons[row].shape[0], (
+            f"window [{start}, {start + seg_len}) exceeds trajectory "
+            f"length {persons[row].shape[0]} for person row {row}"
+        )
     f_max = max(p.shape[0] for p in persons)
     v, f = persons[0].shape[1], persons[0].shape[2]
     padded = np.zeros((len(persons), f_max, v, f), np.float32)
@@ -178,6 +188,10 @@ def gather_windows(traj: jax.Array, person: jax.Array, start: jax.Array,
             start_index_map=(0, 1),
         ),
         slice_sizes=(1, seg_len, v * c),
+        # CLIP clamps the slice START to F_max - seg_len; unlike advanced
+        # indexing it does NOT clamp each row independently. Correctness
+        # relies on build_store's invariant that every (person, start)
+        # window is fully in-bounds (asserted there, host-side).
         mode=jax.lax.GatherScatterMode.CLIP,
     )
     return win.reshape(win.shape[0], seg_len, v, c)

@@ -159,14 +159,17 @@ class Trainer:
             self._train_epoch_impl, donate_argnums=0,
             static_argnames=("frozen_bn",),
         )
-        self._embed_step = jax.jit(self._embed_step_impl)
-        self._embed_many = jax.jit(self._embed_many_impl)
+        self._embed_step = jax.jit(
+            self._embed_step_impl, static_argnames=("window_shape",))
+        self._embed_many = jax.jit(
+            self._embed_many_impl, static_argnames=("window_shape",))
         self._score_fn = jax.jit(self._score_impl)
         # Fused scoring program: gather + eval forward + variant score for
         # [K, B] index chunks in ONE dispatch (remote TPU dispatch costs
         # 15-77 ms; the old embed-then-score pair paid it twice and
         # round-tripped latents through the host).
-        self._score_many = jax.jit(self._score_many_impl)
+        self._score_many = jax.jit(
+            self._score_many_impl, static_argnames=("window_shape",))
         # Persistent shuffle stream: repeated fit(state, epochs=1) calls (the
         # CLI's per-epoch checkpoint loop) must not replay the same
         # permutation.
@@ -329,16 +332,33 @@ class Trainer:
         out = self.model.apply(variables, batch, rngs=rngs, **kwargs)
         return out, batch_stats
 
-    def _gather(self, data, indices):
+    @staticmethod
+    def _window_shape_of(ds):
+        """(C, T, V) of a materialized-window dataset; None for stores."""
+        data = getattr(ds, "data", None)
+        return None if data is None else tuple(data.shape[1:])
+
+    def _gather(self, data, indices, window_shape=None):
         if self._pipeline == "store":
             traj, persons, starts = data
             return gather_batch_from_store(
                 self.train_ds, traj, persons, starts, indices,
                 self.trans_table, self.cfg.model.num_coords,
             )
+        # Flat [N, C*T*V] uploads lose the window shape; default to the
+        # train set's but let callers that gather OTHER datasets (val/eval)
+        # pass the owning dataset's shape. A product mismatch would
+        # otherwise surface as an opaque in-jit reshape error.
+        ws = tuple(window_shape or self.train_ds.data.shape[1:])
+        if data.ndim == 2 and data.shape[1] != int(np.prod(ws)):
+            raise ValueError(
+                f"flat window data has {data.shape[1]} features but "
+                f"window_shape {ws} expects {int(np.prod(ws))}; pass the "
+                "owning dataset's window shape to _gather/embed_all/score_all"
+            )
         return gather_batch(
             data, indices, self.trans_table, self.cfg.model.num_coords,
-            window_shape=self.train_ds.data.shape[1:],
+            window_shape=ws,
         )
 
     def _train_step_impl(
@@ -500,14 +520,14 @@ class Trainer:
         return state, metrics
 
     def _embed_step_impl(
-        self, params, batch_stats, data, indices, rng
+        self, params, batch_stats, data, indices, rng, window_shape=None
     ) -> Tuple[jax.Array, jax.Array]:
         """Eval-mode (latents, per-window reconstruction MSE) for a batch.
 
         rec_err is zeros for encoder-only variants; for decoder variants it
         feeds the reference's 'rec' / 'rec+hyp' scoring modes
         (windows_based_loss_rec_and_hy, utils/eval_utils.py:77-106)."""
-        batch = self._gather(data, indices)
+        batch = self._gather(data, indices, window_shape=window_shape)
         out, _ = self._forward(params, batch_stats, batch, train=False, rng=rng)
         z = objectives.latent_of(self.cfg.model.variant, out)
         if self.cfg.model.use_decoder:
@@ -517,12 +537,14 @@ class Trainer:
             rec_err = jnp.zeros(z.shape[0], jnp.float32)
         return z, rec_err
 
-    def _embed_many_impl(self, params, batch_stats, data, indices, rng):
+    def _embed_many_impl(self, params, batch_stats, data, indices, rng,
+                         window_shape=None):
         """Scan embedding over [K, B] index chunks -> ([K, B, D], [K, B])."""
 
         def body(i, idx):
             z, rec = self._embed_step_impl(
-                params, batch_stats, data, idx, jax.random.fold_in(rng, i)
+                params, batch_stats, data, idx, jax.random.fold_in(rng, i),
+                window_shape=window_shape,
             )
             return i + 1, (z, rec)
 
@@ -533,7 +555,7 @@ class Trainer:
         return objectives.window_scores(self.cfg, z, center, inv_cov, mean_vector)
 
     def _score_many_impl(self, params, batch_stats, data, indices, rng,
-                         center, inv_cov, mean_vector):
+                         center, inv_cov, mean_vector, window_shape=None):
         """Scan (gather + eval forward + window score) over [K, B] chunks ->
         ([K, B] scores, [K, B] rec errors). The scoring analogue of
         _embed_many with the distance fused into the scanned body, so a full
@@ -543,7 +565,8 @@ class Trainer:
 
         def body(i, idx):
             z, rec = self._embed_step_impl(
-                params, batch_stats, data, idx, jax.random.fold_in(rng, i)
+                params, batch_stats, data, idx, jax.random.fold_in(rng, i),
+                window_shape=window_shape,
             )
             s = objectives.window_scores(
                 self.cfg, z, center, inv_cov, mean_vector
@@ -573,7 +596,9 @@ class Trainer:
             ),
         )
         rng = jax.random.fold_in(state.rng, 7)
-        zs, recs = self._embed_many(state.params, state.batch_stats, data, idx_dev, rng)
+        zs, recs = self._embed_many(
+            state.params, state.batch_stats, data, idx_dev, rng,
+            window_shape=self._window_shape_of(ds))
         z = np.asarray(zs).reshape(k * bs, -1)[:n]
         if return_rec:
             return z, np.asarray(recs).reshape(k * bs)[:n]
@@ -598,6 +623,7 @@ class Trainer:
         scores, recs = self._score_many(
             state.params, state.batch_stats, data, idx_dev, rng,
             state.center, state.inv_cov, state.mean_vector,
+            window_shape=self._window_shape_of(ds),
         )
         return (np.asarray(scores).reshape(k * bs)[:n],
                 np.asarray(recs).reshape(k * bs)[:n])
