@@ -20,7 +20,7 @@ INDEPENDENT float64 NumPy/SciPy implementation —
     the exact formulas the power_spherical package evaluates with
     torch.lgamma/digamma.
 
-— and writes them to tests/fixtures/golden_geometry.npz. The committed
+— and writes them to tests/golden/golden_geometry.npz. The committed
 fixture makes tests/test_geometry.py + tests/test_sphere.py parity tests
 unconditional (no importorskip): coskad_tpu's float32 jnp implementations
 must reproduce these float64 values within float32 tolerance.
@@ -38,7 +38,7 @@ import sys
 import numpy as np
 from scipy.special import digamma, gammaln
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                    "golden_geometry.npz")
 
 BALL_EPS_F32 = 4e-3  # geoopt's float32 projection epsilon
@@ -143,8 +143,14 @@ def make_inputs():
     rdirs = rng.normal(size=(raw_norms.size, d))
     rdirs /= np.linalg.norm(rdirs, axis=-1, keepdims=True)
     raw_points = (rdirs * raw_norms[:, None]).astype(np.float32)
-    # A batch of ball points (moderate norms) for dist/midpoint goldens.
-    u = rng.normal(size=(32, d)).astype(np.float32) * 0.8
+    # A batch of ball points for dist/midpoint goldens. Moderate norms on
+    # purpose: per-component 0.25 puts tangent norms ~1.0 and ball norms
+    # ~0.76. At the 0.996 clamp boundary the float32 test path and the
+    # float64 golden path round the projection condition differently and
+    # the Klein Lorenz factor amplifies that into O(1) midpoint error —
+    # the boundary regime is pinned by the exp0/proj/dist0 goldens above,
+    # where both sides see identical float32 inputs.
+    u = rng.normal(size=(32, d)).astype(np.float32) * 0.25
     weights = rng.uniform(0.1, 2.0, size=32).astype(np.float32)
     # PowerSpherical inputs.
     loc = rng.normal(size=(6, 8))

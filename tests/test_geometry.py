@@ -1,6 +1,8 @@
 """Poincare-ball math: closed-form identities + agreement of the two
 midpoint formulations (SURVEY.md section 4 test plan)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -121,24 +123,77 @@ def test_dist_grad_finite_near_boundary():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_geoopt_parity_if_available(seed):
-    """Distance/expmap parity with geoopt when it is installed (<=1e-5)."""
-    geoopt = pytest.importorskip("geoopt")
-    import torch
+_GOLDEN = np.load(
+    os.path.join(os.path.dirname(__file__), "golden", "golden_geometry.npz")
+)
 
-    gmath = geoopt.manifolds.stereographic.math
-    u = np.random.default_rng(seed).normal(size=(32, 16)).astype(np.float32)
-    k_t = torch.tensor(-1.0)
-    ours_exp = np.asarray(pm.project(pm.expmap0(jnp.asarray(u), K), K))
-    ref_exp = gmath.project(gmath.expmap0(torch.tensor(u), k=k_t), k=k_t).numpy()
-    np.testing.assert_allclose(ours_exp, ref_exp, rtol=1e-5, atol=1e-6)
 
-    c = ref_exp[0]
-    ours_d = np.asarray(pm.dist(jnp.asarray(ref_exp), jnp.asarray(c), K))
-    ref_d = gmath.dist(torch.tensor(ref_exp), torch.tensor(c), k=k_t).numpy()
-    np.testing.assert_allclose(ours_d, ref_d, rtol=1e-4, atol=1e-5)
+class TestGoldenParity:
+    """Unconditional parity against committed float64 goldens.
 
-    ours_mid = np.asarray(pm.weighted_midpoint(jnp.asarray(ref_exp), K))
-    ref_mid = gmath.weighted_midpoint(torch.tensor(ref_exp), k=k_t).numpy()
-    np.testing.assert_allclose(ours_mid, ref_mid, rtol=1e-4, atol=1e-5)
+    geoopt cannot be installed in this environment, so the reference
+    semantics (geoopt.manifolds.stereographic.math, used by
+    reference models/hyperbolic_encoder.py:110-158) are pinned by
+    tests/golden/golden_geometry.npz: float64 values of the same published
+    closed forms, computed by an INDEPENDENT numpy implementation with
+    geoopt's float32 projection constant (provenance + optional live geoopt
+    cross-check: scripts/make_golden_geometry.py). The float32 jnp
+    implementation must reproduce them to float32 tolerance — including on
+    tangent norms up to 8 and raw norms up to 100, the clamping-sensitive
+    ball-edge region.
+    """
+
+    def test_expmap0_project_golden(self):
+        ours = pm.project(pm.expmap0(jnp.asarray(_GOLDEN["tangents"]), K), K)
+        np.testing.assert_allclose(
+            np.asarray(ours), _GOLDEN["exp0"], rtol=1e-5, atol=1e-6
+        )
+
+    def test_project_golden(self):
+        ours = pm.project(jnp.asarray(_GOLDEN["raw_points"]), K)
+        np.testing.assert_allclose(
+            np.asarray(ours), _GOLDEN["proj"], rtol=1e-5, atol=1e-6
+        )
+
+    def test_dist0_golden(self):
+        pts = pm.project(pm.expmap0(jnp.asarray(_GOLDEN["tangents"]), K), K)
+        # artanh amplifies float32 rounding near the boundary: |d(artanh)/dx|
+        # = 1/(1-x^2) ~ 125 at the max norm 1-4e-3, so 1e-7-level input
+        # rounding legitimately moves dist0 by ~1e-4 relative.
+        np.testing.assert_allclose(
+            np.asarray(pm.dist0(pts, K)), _GOLDEN["dist0"], rtol=5e-4
+        )
+
+    def test_pairwise_dist_golden(self):
+        pts = pm.project(pm.expmap0(jnp.asarray(_GOLDEN["u"]), K), K)
+        ours = pm.dist(pts[:, None, :], pts[None, :, :], K)
+        np.testing.assert_allclose(
+            np.asarray(ours), _GOLDEN["pairwise_dist"], rtol=1e-4, atol=1e-5
+        )
+
+    def test_midpoint_golden(self):
+        pts = pm.project(pm.expmap0(jnp.asarray(_GOLDEN["u"]), K), K)
+        np.testing.assert_allclose(
+            np.asarray(pm.weighted_midpoint(pts, K)),
+            _GOLDEN["midpoint"], rtol=1e-4, atol=1e-5,
+        )
+
+    def test_weighted_midpoint_golden(self):
+        pts = pm.project(pm.expmap0(jnp.asarray(_GOLDEN["u"]), K), K)
+        ours = pm.weighted_midpoint(
+            pts, K, weights=jnp.asarray(_GOLDEN["weights"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), _GOLDEN["midpoint_weighted"],
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_streaming_midpoint_matches_golden(self):
+        """The shardable streaming path hits the same golden midpoint."""
+        pts = pm.project(pm.expmap0(jnp.asarray(_GOLDEN["u"]), K), K)
+        s1, w1 = pm.streaming_midpoint_stats(pts[:16], K)
+        s2, w2 = pm.streaming_midpoint_stats(pts[16:], K)
+        ours = pm.midpoint_from_stats(s1 + s2, w1 + w2, K)
+        np.testing.assert_allclose(
+            np.asarray(ours), _GOLDEN["midpoint"], rtol=1e-4, atol=1e-5
+        )
