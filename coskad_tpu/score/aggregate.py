@@ -200,10 +200,30 @@ def evaluate_windows(
 
             if (scene_idx, clip_idx) in hr_clip_masks:
                 m = hr_clip_masks[(scene_idx, clip_idx)]
+                if m.shape[0] != clip_score.shape[0]:
+                    raise ValueError(
+                        f"HR mask for clip ({scene_idx}, {clip_idx}) has "
+                        f"{m.shape[0]} frames but the clip scored "
+                        f"{clip_score.shape[0]} — the hr_bool_masks tree "
+                        "does not belong to this dataset"
+                    )
                 clip_score = clip_score[m]
                 gt = gt[m]
             elif clip_idx in avenue_clip_masks:
                 m = avenue_clip_masks[clip_idx]
+                if m.shape[0] != clip_score.shape[0]:
+                    # Built-in HR-Avenue masks are keyed by clip id alone
+                    # (reference eval_COSKAD.py:22-39); data that is not the
+                    # real Avenue test set but reuses its clip ids would
+                    # otherwise die on an opaque boolean-index mismatch.
+                    raise ValueError(
+                        f"built-in HR-Avenue mask for clip {clip_idx} covers "
+                        f"{m.shape[0]} frames but the clip scored "
+                        f"{clip_score.shape[0]} — is non-Avenue data running "
+                        "under dataset_choice HR-Avenue? Use a different "
+                        "dataset_choice (or use_hr: false) for non-Avenue "
+                        "data"
+                    )
                 clip_score = clip_score[m]
                 gt = gt[m]
 

@@ -352,3 +352,30 @@ def test_evaluate_windows_shared_meta_matches_tiled(seed):
     np.testing.assert_array_equal(tiled.gt, shared.gt)
     assert tiled.per_clip_auc_all == shared.per_clip_auc_all
     assert tiled.per_transform_auc == shared.per_transform_auc
+
+
+def test_builtin_avenue_mask_length_mismatch_clear_error():
+    """Built-in HR-Avenue masks are keyed by clip id alone; non-Avenue data
+    reusing those ids must fail with an explanatory ValueError, not an
+    opaque boolean-index mismatch (found by the real-data runbook smoke:
+    synthetic 120-frame clips under dataset_choice HR-Avenue)."""
+    import pytest
+
+    from coskad_tpu.score.masks import AVENUE_MASKED_CLIPS
+
+    clip_id = sorted(AVENUE_MASKED_CLIPS)[0]
+    n_frames = 50  # much shorter than any real Avenue test clip
+    gt = np.zeros(n_frames, dtype=int)
+    gt[10:20] = 1
+    t = 12
+    starts = np.arange(1, n_frames - t, 1)
+    meta = np.asarray([[1, clip_id, 7, s] for s in starts])
+    frames = np.asarray([np.arange(s, s + t) for s in starts])
+    scores = np.linspace(0.1, 1.0, len(starts))
+    with pytest.raises(ValueError, match="HR-Avenue mask"):
+        aggregate.evaluate_windows(
+            scores, np.zeros(len(starts), int), meta, frames,
+            {(1, clip_id): gt},
+            aggregate.ScoringConfig(num_transform=1),
+            avenue_clip_masks=AVENUE_MASKED_CLIPS,
+        )
