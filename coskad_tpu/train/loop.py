@@ -578,6 +578,23 @@ class Trainer:
 
     # ------------------------------------------------------------ embedding
 
+    @staticmethod
+    def _fetch_global(arr) -> np.ndarray:
+        """Materialize a (possibly batch-sharded) device array on the host.
+
+        Single-process: plain np.asarray. Multi-process (multi-host DCN,
+        parallel/mesh.py::initialize_distributed): np.asarray cannot read
+        the non-addressable shards living on other hosts' devices, so
+        allgather them first — every host then runs the identical host-side
+        aggregation (center init, validation AUC), which keeps multi-host
+        results byte-equal to single-process ones. Cost: one DCN allgather
+        of the latents/scores per eval pass, once per epoch."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
     def embed_all(
         self, state: TrainState, ds: SegmentDataset, data, return_rec: bool = False
     ):
@@ -599,9 +616,9 @@ class Trainer:
         zs, recs = self._embed_many(
             state.params, state.batch_stats, data, idx_dev, rng,
             window_shape=self._window_shape_of(ds))
-        z = np.asarray(zs).reshape(k * bs, -1)[:n]
+        z = self._fetch_global(zs).reshape(k * bs, -1)[:n]
         if return_rec:
-            return z, np.asarray(recs).reshape(k * bs)[:n]
+            return z, self._fetch_global(recs).reshape(k * bs)[:n]
         return z
 
     def score_all(self, state: TrainState, ds: SegmentDataset, data):
@@ -625,8 +642,8 @@ class Trainer:
             state.center, state.inv_cov, state.mean_vector,
             window_shape=self._window_shape_of(ds),
         )
-        return (np.asarray(scores).reshape(k * bs)[:n],
-                np.asarray(recs).reshape(k * bs)[:n])
+        return (self._fetch_global(scores).reshape(k * bs)[:n],
+                self._fetch_global(recs).reshape(k * bs)[:n])
 
     # ------------------------------------------------------------ center init
 
