@@ -58,6 +58,54 @@ def actor_frame_scores(
     return out.reshape(n_actors, n_frames)
 
 
+def actor_frame_scores_multi(
+    window_scores: np.ndarray,
+    actor_idx: np.ndarray,
+    frame_ids: np.ndarray,
+    n_frames: int,
+    n_actors: int,
+) -> np.ndarray:
+    """`actor_frame_scores` for K score vectors over the SAME windows.
+
+    Args:
+        window_scores: [K, W] — one score vector per transform for identical
+            window metadata (the shared-meta case of
+            aggregate.evaluate_windows: the reference tiles the dataset
+            num_transform times with the same (actor, frame) layout,
+            utils/dataset.py:65-80).
+        actor_idx / frame_ids / n_frames / n_actors: as in
+            actor_frame_scores.
+
+    Returns:
+        [K, n_actors, n_frames]; row k is bit-identical to
+        actor_frame_scores(window_scores[k], ...) — the flat ids are offset
+        by k * n_actors * n_frames so each transform occupies its own
+        bincount segment and accumulates in the same element order as the
+        single-transform call. One bincount for all K transforms amortizes
+        the flat-id construction K-fold (the host-aggregation hot spot at
+        UBnormal scale, scripts/bench_eval_aggregation.py).
+    """
+    scores = np.asarray(window_scores, dtype=np.float64)
+    k, w = scores.shape
+    t = frame_ids.shape[1]
+    flat_actor = np.repeat(actor_idx, t)
+    flat_frame = (frame_ids - 1).reshape(-1)
+    in_bounds = (flat_frame >= 0) & (flat_frame < n_frames)
+    size = n_actors * n_frames
+    base_ids = flat_actor * n_frames + flat_frame  # [W*T]; garbage where oob
+    flat_scores = np.repeat(scores, t, axis=1)  # [K, W*T]
+    # Exactly-0.0 scores mean "no observation" (reference zeros->NaN->nanmean)
+    flat_valid = (flat_scores != 0.0) & in_bounds[None, :]
+    ids = base_ids[None, :] + (np.arange(k, dtype=base_ids.dtype) * size)[:, None]
+    sel = flat_valid.reshape(-1)
+    ids_sel = ids.reshape(-1)[sel]
+    sums = np.bincount(ids_sel, weights=flat_scores.reshape(-1)[sel],
+                       minlength=k * size)
+    counts = np.bincount(ids_sel, minlength=k * size)
+    out = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+    return out.reshape(k, n_actors, n_frames)
+
+
 def _zero_runs(mask: np.ndarray):
     """[(start, end)] inclusive index ranges where mask is True."""
     if not mask.any():

@@ -110,6 +110,26 @@ def test_actor_frame_scores_multi_actor():
         np.testing.assert_allclose(ours[a], ref, rtol=1e-12)
 
 
+def test_actor_frame_scores_multi_bit_equals_single():
+    """The batched K-transform scatter (aggregate hot path) must be
+    BIT-identical per transform to the single-transform call — same
+    bincount element order per segment, so identical float accumulation."""
+    rng = np.random.default_rng(7)
+    n_frames, t, w, k = 55, 8, 40, 5
+    actor = rng.integers(0, 3, w)
+    starts = rng.integers(0, n_frames - t + 2, w)  # some run out of bounds
+    frame_ids = starts[:, None] + np.arange(t)[None, :]
+    scores = rng.random((k, w)) + 0.01
+    scores[0, 4] = 0.0  # exact-zero = missing, per-transform validity
+    scores[2, 9] = 0.0
+    multi = frames.actor_frame_scores_multi(scores, actor, frame_ids,
+                                            n_frames, 3)
+    for i in range(k):
+        single = frames.actor_frame_scores(scores[i], actor, frame_ids,
+                                           n_frames, 3)
+        np.testing.assert_array_equal(multi[i], single)
+
+
 # ---------------------------------------------------------------- pad_scores
 
 
