@@ -71,6 +71,10 @@ def main(argv=None):
         start_epoch = int(extra.get("epoch", -1)) + 1
         best_auc = float(extra.get("best_auc", -1.0))
         best2_auc = float(extra.get("best2_auc", -1.0))
+        # Epoch-indexed schedules (lr_schedule, freeze_bn_after) must see the
+        # GLOBAL epoch, not the post-resume local one — otherwise a resumed
+        # run restarts the LR decay and re-arms already-frozen BN.
+        trainer._epochs_done = start_epoch
         print(f"[coskad] resumed from {resume_path} at epoch {start_epoch}")
     else:
         state = trainer.initialize_center(state)
@@ -103,6 +107,13 @@ def main(argv=None):
             extra={"epoch": epoch, "best_auc": best_auc,
                    "best2_auc": best2_auc},
         )
+        # Fault injection for the supervisor's recovery test
+        # (cli/supervise.py, tests/test_supervise.py): hard-crash AFTER the
+        # epoch's checkpoint lands, so --resume restarts at epoch+1 and the
+        # crash fires exactly once per fresh run.
+        if os.environ.get("COSKAD_CRASH_AT_EPOCH", "") == str(epoch):
+            print(f"[coskad] injected crash at epoch {epoch}", flush=True)
+            os._exit(17)
         msg = f"[coskad] epoch {epoch + 1}/{epochs} loss={history['loss'][-1]:.6f}"
         if auc is not None:
             msg += f" validation_auc={auc:.4f} (best {best_auc:.4f})"

@@ -170,10 +170,6 @@ class Trainer:
         # round-tripped latents through the host).
         self._score_many = jax.jit(
             self._score_many_impl, static_argnames=("window_shape",))
-        # Persistent shuffle stream: repeated fit(state, epochs=1) calls (the
-        # CLI's per-epoch checkpoint loop) must not replay the same
-        # permutation.
-        self._shuffle_rng = np.random.default_rng(cfg.run.seed)
         self._epochs_done = 0
         # Testing/diagnostics hook: False routes the VAE through its
         # deterministic mean path (sample=False) instead of rsample —
@@ -773,7 +769,13 @@ class Trainer:
                         jnp.asarray(self._lr, jnp.float32), self.mesh
                     )
                 )
-            perm = self._shuffle_rng.permutation(n)
+            # Per-epoch derived permutation: epoch e always shuffles with
+            # rng((seed, e)), so (a) repeated fit(state, epochs=1) calls (the
+            # CLI's per-epoch checkpoint loop) never replay a permutation and
+            # (b) a --resume'd run consumes the SAME index stream as an
+            # uninterrupted one — crash-recovery reproduces the original run
+            # exactly (cli/supervise.py, tests/test_supervise.py).
+            perm = np.random.default_rng((cfg.run.seed, epoch)).permutation(n)
             idx = perm[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
             idx_dev = jax.device_put(
                 jnp.asarray(idx),

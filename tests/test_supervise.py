@@ -1,0 +1,114 @@
+"""Failure detection / elastic recovery: crash mid-run, recover, match.
+
+Drives cli/supervise.py end-to-end: a supervised training run is
+fault-injected to hard-crash (os._exit(17)) right after epoch 1's
+checkpoint lands (COSKAD_CRASH_AT_EPOCH, cli/train.py); the supervisor
+must detect the crash, restart with --resume, and finish. Because the
+epoch permutation is derived per (seed, epoch) and the train state
+(params, opt state, center, RNG) round-trips through last.ckpt, the
+recovered run must produce the SAME final checkpoint as an uninterrupted
+run — asserted leaf-for-leaf. The reference has no analogue: a crashed
+Lightning DDP job is simply dead (train_COSKAD.py:75-78)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fixtures import make_synthetic_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _child_env(**extra):
+    env = {
+        **os.environ,
+        "PYTHONPATH": REPO,
+        # Single-device CPU children: fast, and independent of the pytest
+        # session's 8-device forcing.
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "",
+    }
+    env.update(extra)
+    return env
+
+
+def _final_ckpt(root):
+    return os.path.join(root, "checkpoints", "Synthetic", "smoke", "last.ckpt")
+
+
+def _run_train(cfg_path, epochs, env):
+    return subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.train", "--config", cfg_path,
+         "--epochs", str(epochs)],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
+
+
+def test_supervised_crash_recovery_matches_uninterrupted(tmp_path):
+    epochs = 4
+    # Uninterrupted baseline
+    base_root = str(tmp_path / "base")
+    base_cfg = make_synthetic_dataset(base_root, seed=5)
+    r = _run_train(base_cfg, epochs, _child_env())
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    # Supervised run with an injected crash after epoch 1's checkpoint
+    sup_root = str(tmp_path / "sup")
+    sup_cfg = make_synthetic_dataset(sup_root, seed=5)
+    r = subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config", sup_cfg,
+         "--epochs", str(epochs), "--max-restarts", "2", "--backoff", "0.1",
+         "--stall-timeout", "300"],
+        env=_child_env(COSKAD_CRASH_AT_EPOCH="1"),
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+    assert "restart 1/2" in r.stderr
+    assert "run completed after 2 attempt(s)" in r.stderr
+
+    from coskad_tpu.train import checkpoint
+
+    base_pl = checkpoint.read_payload(_final_ckpt(base_root))
+    sup_pl = checkpoint.read_payload(_final_ckpt(sup_root))
+    assert base_pl["extra"]["epoch"] == sup_pl["extra"]["epoch"] == epochs - 1
+
+    import jax
+
+    base_leaves = jax.tree_util.tree_leaves_with_path(base_pl["state"])
+    sup_leaves = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(sup_pl["state"])
+    }
+    assert len(base_leaves) == len(sup_leaves) > 10
+    for k, v in base_leaves:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(sup_leaves[ks]),
+            err_msg=f"recovered run diverged from uninterrupted at {ks}")
+
+
+def test_supervisor_gives_up_when_budget_exhausted(tmp_path):
+    root = str(tmp_path / "dead")
+    cfg = make_synthetic_dataset(root, seed=5)
+    # Crash at epoch 0 forever: resume restarts at epoch 1, but a fresh
+    # crash epoch of 0 never replays... so instead crash at every epoch by
+    # pointing the injection at the FIRST epoch each attempt will run.
+    # Simplest deterministic always-fail: a config path that exists for the
+    # supervisor but a data_dir the train CLI cannot load.
+    import yaml
+
+    bad = dict(yaml.safe_load(open(cfg)))
+    bad["data_dir"] = str(tmp_path / "nonexistent")
+    bad_path = str(tmp_path / "bad.yaml")
+    with open(bad_path, "w") as f:
+        yaml.safe_dump(bad, f)
+    r = subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config",
+         bad_path, "--epochs", "2", "--max-restarts", "1", "--backoff", "0.1"],
+        env=_child_env(), capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 1
+    assert "giving up" in r.stderr
