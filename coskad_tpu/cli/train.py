@@ -114,6 +114,14 @@ def main(argv=None):
         if os.environ.get("COSKAD_CRASH_AT_EPOCH", "") == str(epoch):
             print(f"[coskad] injected crash at epoch {epoch}", flush=True)
             os._exit(17)
+        if os.environ.get("COSKAD_HANG_AT_EPOCH", "") == str(epoch):
+            # Wedge without exiting (a hung device client / host deadlock):
+            # only the supervisor's stall detector can recover from this.
+            print(f"[coskad] injected hang at epoch {epoch}", flush=True)
+            import time
+
+            while True:
+                time.sleep(60)
         msg = f"[coskad] epoch {epoch + 1}/{epochs} loss={history['loss'][-1]:.6f}"
         if auc is not None:
             msg += f" validation_auc={auc:.4f} (best {best_auc:.4f})"

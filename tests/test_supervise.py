@@ -90,6 +90,33 @@ def test_supervised_crash_recovery_matches_uninterrupted(tmp_path):
             err_msg=f"recovered run diverged from uninterrupted at {ks}")
 
 
+def test_supervised_stall_recovery(tmp_path):
+    """A child that WEDGES (no exit, no progress) must be detected by the
+    stall watchdog, SIGTERMed by pid, and the run recovered via --resume.
+    The hang fires after epoch 1's checkpoint lands (COSKAD_HANG_AT_EPOCH),
+    so the restarted attempt resumes at epoch 2 and completes."""
+    epochs = 4
+    root = str(tmp_path / "stall")
+    cfg = make_synthetic_dataset(root, seed=5)
+    r = subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config", cfg,
+         "--epochs", str(epochs), "--max-restarts", "2", "--backoff", "0.1",
+         # stall-timeout must exceed the child's first-compile window (no
+         # ckpt_dir writes land until epoch 0 finishes, ~25 s on this host)
+         "--stall-timeout", "60", "--poll", "1"],
+        env=_child_env(COSKAD_HANG_AT_EPOCH="1"),
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+    assert "stall" in r.stderr
+    assert "run completed after 2 attempt(s)" in r.stderr
+
+    from coskad_tpu.train import checkpoint
+
+    pl = checkpoint.read_payload(_final_ckpt(root))
+    assert pl["extra"]["epoch"] == epochs - 1
+
+
 def test_supervisor_gives_up_when_budget_exhausted(tmp_path):
     root = str(tmp_path / "dead")
     cfg = make_synthetic_dataset(root, seed=5)
