@@ -1,0 +1,47 @@
+"""Convert a reference PyTorch-Lightning checkpoint for use with coskad_tpu.
+
+    python -m coskad_tpu.cli.convert --config <yaml> --ckpt <lightning.ckpt> \
+        [--scaler robust.pkl] [--out converted.ckpt]
+
+The config is the same reference-format YAML the other CLIs take (it tells
+the converter which model variant/shape to build); --scaler ingests the
+reference's fitted-RobustScaler pickle for robust-normalized datasets
+(utils/dataset.py:176-179). The output is a standard coskad_tpu msgpack
+checkpoint: evaluate it with ``cli.eval --ckpt <out>`` or fine-tune with
+``cli.train --resume`` after placing it at <ckpt_dir>/last.ckpt. See
+coskad_tpu/interop.py for the weight-layout translation rules.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Reference Lightning ckpt -> coskad_tpu checkpoint")
+    parser.add_argument("-c", "--config", required=True,
+                        help="reference-format YAML describing the model")
+    parser.add_argument("--ckpt", required=True,
+                        help="reference PyTorch-Lightning .ckpt path")
+    parser.add_argument("--scaler", default=None,
+                        help="reference robust.pkl (fitted sklearn "
+                             "RobustScaler pickle) to embed")
+    parser.add_argument("--out", default=None,
+                        help="output path (default <ckpt_dir>/converted.ckpt)")
+    args = parser.parse_args(argv)
+
+    from ..interop import convert_checkpoint
+    from .common import load_config
+
+    cfg = load_config(args.config)
+    out = convert_checkpoint(args.ckpt, cfg, out_path=args.out,
+                             scaler_path=args.scaler)
+    print(f"[coskad] converted {args.ckpt} -> {out}")
+    print(f"[coskad] evaluate with: python -m coskad_tpu.cli.eval "
+          f"--config {args.config} --ckpt {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()
