@@ -371,8 +371,13 @@ def main():
     if candidates:
         headline_pipeline = max(candidates, key=candidates.get)
         value = candidates[headline_pipeline]
-    else:  # single-config CLI invocation on a non-flagship config
-        headline_pipeline = config_key(*configs[0])
+    else:
+        # Single-config CLI invocation on a non-flagship config, or every
+        # flagship measurement failed while a later config succeeded: fall
+        # back to the best config that actually has a measurement (indexing
+        # configs[0] would KeyError if that one was among the failures).
+        headline_pipeline = max(
+            details, key=lambda k: details[k]["combined_wps_per_chip"])
         value = details[headline_pipeline]["combined_wps_per_chip"]
     details["headline_pipeline"] = headline_pipeline
     details["headline_candidates"] = candidates

@@ -29,6 +29,10 @@ def main(argv=None):
                              "RobustScaler pickle) to embed")
     parser.add_argument("--out", default=None,
                         help="output path (default <ckpt_dir>/converted.ckpt)")
+    parser.add_argument("--allow-missing-scaler", action="store_true",
+                        help="convert a robust-normalized config without its "
+                             "robust.pkl (eval will re-fit on the test split "
+                             "— scores will NOT match the reference run)")
     args = parser.parse_args(argv)
 
     from ..interop import convert_checkpoint
@@ -36,7 +40,8 @@ def main(argv=None):
 
     cfg = load_config(args.config)
     out = convert_checkpoint(args.ckpt, cfg, out_path=args.out,
-                             scaler_path=args.scaler)
+                             scaler_path=args.scaler,
+                             allow_missing_scaler=args.allow_missing_scaler)
     print(f"[coskad] converted {args.ckpt} -> {out}")
     print(f"[coskad] evaluate with: python -m coskad_tpu.cli.eval "
           f"--config {args.config} --ckpt {out}")

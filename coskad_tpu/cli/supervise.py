@@ -40,11 +40,13 @@ import sys
 import time
 
 
-def _latest_mtime(path: str) -> float:
+def _latest_mtime(path: str, suffix: str = "") -> float:
     """Newest mtime under `path` (non-recursive: ckpt files + metrics.jsonl
-    land directly in ckpt_dir); 0.0 when the directory does not exist yet."""
+    land directly in ckpt_dir), optionally filtered by filename suffix;
+    0.0 when the directory does not exist yet."""
     try:
-        entries = [os.path.join(path, f) for f in os.listdir(path)]
+        entries = [os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(suffix)]
     except FileNotFoundError:
         return 0.0
     newest = 0.0
@@ -93,16 +95,26 @@ def supervise(argv=None) -> int:
         print(f"[supervise] attempt {attempt}: {' '.join(cmd)}",
               file=sys.stderr, flush=True)
         start = time.time()
-        progress_anchor = max(_latest_mtime(ckpt_dir), start)
+        # Two notions of activity, deliberately distinct:
+        #  * STALL detection watches ANY ckpt_dir write (metrics.jsonl
+        #    flushes prove the child is alive even between checkpoints);
+        #  * the RESTART BUDGET resets only on CHECKPOINT writes — a child
+        #    that logs metrics then crashes deterministically every epoch
+        #    must still exhaust --max-restarts rather than loop forever.
+        stall_anchor = max(_latest_mtime(ckpt_dir), start)
+        ckpt_anchor = _latest_mtime(ckpt_dir, suffix=".ckpt")
         child = subprocess.Popen(cmd)
         stalled = False
         while child.poll() is None:
             time.sleep(args.poll)
+            newest_ckpt = _latest_mtime(ckpt_dir, suffix=".ckpt")
+            if newest_ckpt > ckpt_anchor:
+                ckpt_anchor = newest_ckpt
+                failures = 0  # checkpoint progress -> fresh restart budget
             newest = _latest_mtime(ckpt_dir)
-            if newest > progress_anchor:
-                progress_anchor = newest
-                failures = 0  # made progress -> fresh restart budget
-            elif time.time() - progress_anchor > args.stall_timeout:
+            if newest > stall_anchor:
+                stall_anchor = newest
+            elif time.time() - stall_anchor > args.stall_timeout:
                 print(f"[supervise] no ckpt_dir write for "
                       f"{args.stall_timeout:.0f}s — stall; SIGTERM child "
                       f"pid {child.pid}", file=sys.stderr, flush=True)

@@ -71,10 +71,12 @@ def main(argv=None):
         start_epoch = int(extra.get("epoch", -1)) + 1
         best_auc = float(extra.get("best_auc", -1.0))
         best2_auc = float(extra.get("best2_auc", -1.0))
-        # Epoch-indexed schedules (lr_schedule, freeze_bn_after) must see the
-        # GLOBAL epoch, not the post-resume local one — otherwise a resumed
-        # run restarts the LR decay and re-arms already-frozen BN.
-        trainer._epochs_done = start_epoch
+        # Epoch-indexed schedules (lr_schedule, freeze_bn_after, shuffle
+        # streams) and the plateau reducer's counters must see the GLOBAL
+        # run position — otherwise a resumed run restarts the LR decay,
+        # re-arms already-frozen BN, and trips the plateau at a different
+        # epoch than the uninterrupted run.
+        trainer.restore_schedule_state(extra)
         print(f"[coskad] resumed from {resume_path} at epoch {start_epoch}")
     else:
         state = trainer.initialize_center(state)
@@ -84,6 +86,14 @@ def main(argv=None):
     epochs = args.epochs if args.epochs is not None else cfg.opt.epochs
     for epoch in range(start_epoch, epochs):
         state, history = trainer.fit(state=state, epochs=1)
+        # Fault injection (tests/test_supervise.py): crash AFTER the epoch's
+        # metrics hit ckpt_dir/metrics.jsonl but BEFORE its checkpoint — a
+        # deterministic every-attempt failure that must exhaust the
+        # supervisor's restart budget (log writes are liveness, not
+        # progress).
+        if os.environ.get("COSKAD_CRASH_BEFORE_CKPT_AT_EPOCH", "") == str(epoch):
+            print(f"[coskad] injected pre-ckpt crash at epoch {epoch}", flush=True)
+            os._exit(23)
         auc = history["validation_auc"][-1] if history["validation_auc"] else None
         best_path = os.path.join(ckpt_dir, "best.ckpt")
         if auc is not None and auc > best_auc:
@@ -105,7 +115,7 @@ def main(argv=None):
             os.path.join(ckpt_dir, "last.ckpt"), state, cfg,
             scaler=train_ds.scaler,
             extra={"epoch": epoch, "best_auc": best_auc,
-                   "best2_auc": best2_auc},
+                   "best2_auc": best2_auc, **trainer.schedule_state()},
         )
         # Fault injection for the supervisor's recovery test
         # (cli/supervise.py, tests/test_supervise.py): hard-crash AFTER the

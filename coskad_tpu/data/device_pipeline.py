@@ -137,12 +137,19 @@ def build_store(
     # gather_windows uses GatherScatterMode.CLIP, which clamps the slice
     # START (not each row) — semantically different from per-row clamping
     # for out-of-range starts. It relies on every window being fully
-    # in-bounds for its person's trajectory; assert that invariant here, on
-    # the host, where violations are cheap to catch.
-    for row, start in zip(w_person, w_start):
-        assert 0 <= start and start + seg_len <= persons[row].shape[0], (
-            f"window [{start}, {start + seg_len}) exceeds trajectory "
-            f"length {persons[row].shape[0]} for person row {row}"
+    # in-bounds for its person's trajectory; check that invariant here, on
+    # the host, where violations are cheap to catch. (Vectorized, and a real
+    # raise rather than an assert: the safety net must survive python -O.)
+    rows = np.asarray(w_person)
+    starts = np.asarray(w_start)
+    lengths = np.asarray([p.shape[0] for p in persons])
+    bad = (starts < 0) | (starts + seg_len > lengths[rows])
+    if bad.any():
+        i = int(np.argmax(bad))
+        raise ValueError(
+            f"window [{starts[i]}, {starts[i] + seg_len}) exceeds trajectory "
+            f"length {lengths[rows[i]]} for person row {rows[i]} "
+            f"({int(bad.sum())} violations total)"
         )
     f_max = max(p.shape[0] for p in persons)
     v, f = persons[0].shape[1], persons[0].shape[2]

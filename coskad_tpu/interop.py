@@ -392,11 +392,26 @@ def convert_checkpoint(
     cfg,
     out_path: Optional[str] = None,
     scaler_path: Optional[str] = None,
+    allow_missing_scaler: bool = False,
 ) -> str:
     """Full conversion: reference Lightning ckpt (+ optional robust.pkl
     sklearn scaler pickle) -> coskad_tpu msgpack checkpoint at `out_path`
     (default <ckpt_dir>/converted.ckpt), loadable by cli/eval --ckpt and
-    cli/train --resume."""
+    cli/train --resume.
+
+    A robust-normalized config REQUIRES the train-fitted scaler — without
+    it, eval would silently re-fit a scaler on the test split and score in
+    a different coordinate system than the checkpoint was trained in; this
+    raises instead (override with allow_missing_scaler=True)."""
+    if (scaler_path is None and not allow_missing_scaler
+            and cfg.data.normalization_strategy == "robust"):
+        raise ConversionError(
+            "this config uses normalization_strategy 'robust': pass the "
+            "reference run's fitted-scaler pickle (exp_dir/.../robust.pkl, "
+            "utils/dataset.py:176-179) via scaler_path/--scaler, or force "
+            "with allow_missing_scaler/--allow-missing-scaler (eval would "
+            "then re-fit a scaler on the test split — NOT the coordinate "
+            "system the checkpoint was trained in)")
     import jax
     import optax
 

@@ -290,6 +290,31 @@ class Trainer:
         # to the wide projector kernels inside shard_params).
         return self.attach_state(state)
 
+    def schedule_state(self) -> dict:
+        """Host-side schedule state that must ride in checkpoints for a
+        resumed run to reproduce an uninterrupted one: the global epoch
+        counter (epoch-indexed lr_schedule / freeze_bn_after / shuffle
+        streams) and the ReduceLROnPlateau analogue's counters (the live LR
+        itself is inside opt_state.hyperparams and is checkpointed with the
+        TrainState)."""
+        return {
+            "epochs_done": int(self._epochs_done),
+            "plateau_best_auc": float(self._best_auc),
+            "plateau_since_best": int(self._since_best),
+        }
+
+    def restore_schedule_state(self, extra: dict) -> None:
+        """Counterpart of schedule_state() for checkpoint resume. Falls back
+        to extra['epoch'] + 1 for checkpoints written before schedule state
+        was persisted (plateau counters then restart from scratch, the old
+        behavior)."""
+        if "epochs_done" in extra:
+            self._epochs_done = int(extra["epochs_done"])
+        elif "epoch" in extra:
+            self._epochs_done = int(extra["epoch"]) + 1
+        self._best_auc = float(extra.get("plateau_best_auc", -np.inf))
+        self._since_best = int(extra.get("plateau_since_best", 0))
+
     def attach_state(self, state: TrainState) -> TrainState:
         """Re-lay a (restored) state onto the mesh. Checkpoint restore
         produces host numpy leaves; feeding them to the jitted programs

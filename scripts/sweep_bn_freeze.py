@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--freezes", type=int, nargs="*", default=None)
+    ap.add_argument("--variants", nargs="*", default=["euclidean_static"],
+                    help="model variants to sweep (paired per-seed on/off "
+                         "deltas are the meaningful stat for the seed-"
+                         "unstable VAE)")
     args = ap.parse_args()
 
     from coskad_tpu.utils.cache import enable_compile_cache
@@ -80,33 +84,49 @@ def main():
         freezes = [-1, int(e * 0.75), int(e * 0.50), int(e * 0.25),
                    max(int(e * 0.10), 1)]
 
-    results = {}  # (freeze, seed) -> dict
-    for seed in range(args.seeds):
-        for freeze in freezes:
-            cfg = dataclasses.replace(
-                base,
-                run=dataclasses.replace(base.run, seed=seed,
-                                        freeze_bn_after=freeze),
-            )
-            trainer = Trainer(cfg, train_ds, val_ds, gts)
-            t0 = time.perf_counter()
-            state, history = trainer.fit()
-            wall = time.perf_counter() - t0
-            aucs = history["validation_auc"]
-            results[(freeze, seed)] = {
-                "final": aucs[-1], "best": max(aucs), "wall": wall,
-            }
-            print(f"seed {seed} freeze {freeze:>3}: final {aucs[-1]:.4f} "
-                  f"best {max(aucs):.4f}  wall {wall:.1f}s", flush=True)
+    results = {}  # (variant, freeze, seed) -> dict
+    for variant in args.variants:
+        for seed in range(args.seeds):
+            for freeze in freezes:
+                cfg = dataclasses.replace(
+                    base,
+                    model=dataclasses.replace(base.model, variant=variant),
+                    run=dataclasses.replace(base.run, seed=seed,
+                                            freeze_bn_after=freeze),
+                )
+                trainer = Trainer(cfg, train_ds, val_ds, gts)
+                t0 = time.perf_counter()
+                state, history = trainer.fit()
+                wall = time.perf_counter() - t0
+                aucs = history["validation_auc"]
+                results[(variant, freeze, seed)] = {
+                    "final": aucs[-1], "best": max(aucs), "wall": wall,
+                }
+                print(f"{variant} seed {seed} freeze {freeze:>3}: "
+                      f"final {aucs[-1]:.4f} best {max(aucs):.4f}  "
+                      f"wall {wall:.1f}s", flush=True)
 
-    print("\nfreeze  frac_frozen  mean_final  mean_best  d_final_vs_never")
-    base_final = np.mean([results[(-1, s)]["final"] for s in range(args.seeds)])
-    for freeze in freezes:
-        finals = [results[(freeze, s)]["final"] for s in range(args.seeds)]
-        bests = [results[(freeze, s)]["best"] for s in range(args.seeds)]
-        frac = 0.0 if freeze < 0 else (args.epochs - freeze) / args.epochs
-        print(f"{freeze:>6}  {frac:>10.0%}  {np.mean(finals):>10.4f}  "
-              f"{np.mean(bests):>9.4f}  {np.mean(finals) - base_final:>+16.4f}")
+    for variant in args.variants:
+        print(f"\n[{variant}]")
+        print("freeze  frac_frozen  mean_final  mean_best  d_final_vs_never"
+              "  max_paired_|d_best|")
+        base_finals = [results[(variant, -1, s)]["final"]
+                       for s in range(args.seeds)]
+        for freeze in freezes:
+            finals = [results[(variant, freeze, s)]["final"]
+                      for s in range(args.seeds)]
+            bests = [results[(variant, freeze, s)]["best"]
+                     for s in range(args.seeds)]
+            # Paired per-seed best-AUC deltas vs never-frozen: the stat that
+            # stays meaningful for the seed-unstable VAE.
+            paired = [abs(results[(variant, freeze, s)]["best"]
+                          - results[(variant, -1, s)]["best"])
+                      for s in range(args.seeds)]
+            frac = 0.0 if freeze < 0 else (args.epochs - freeze) / args.epochs
+            print(f"{freeze:>6}  {frac:>10.0%}  {np.mean(finals):>10.4f}  "
+                  f"{np.mean(bests):>9.4f}  "
+                  f"{np.mean(finals) - np.mean(base_finals):>+16.4f}  "
+                  f"{max(paired):>19.4f}")
 
 
 if __name__ == "__main__":

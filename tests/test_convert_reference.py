@@ -273,6 +273,23 @@ def test_convert_rejects_st_gcn(tmp_path):
         interop.convert_state_dict({}, ours)
 
 
+def test_convert_requires_scaler_for_robust_config(tmp_path):
+    """Converting a robust-normalized config without its train-fitted
+    scaler pickle must fail loudly — eval would otherwise re-fit on the
+    test split and score in the wrong coordinate system."""
+    import dataclasses
+
+    from coskad_tpu import interop
+    from coskad_tpu.cli.common import load_config
+
+    cfg_path = make_synthetic_dataset(str(tmp_path / "d"), seed=5)
+    cfg = load_config(cfg_path)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, normalization_strategy="robust"))
+    with pytest.raises(interop.ConversionError, match="robust"):
+        interop.convert_checkpoint("/nonexistent.ckpt", cfg)
+
+
 def test_load_sklearn_scaler(tmp_path):
     sklearn = pytest.importorskip("sklearn.preprocessing")
     from coskad_tpu.interop import load_sklearn_scaler

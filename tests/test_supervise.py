@@ -117,6 +117,62 @@ def test_supervised_stall_recovery(tmp_path):
     assert pl["extra"]["epoch"] == epochs - 1
 
 
+def test_supervisor_budget_not_reset_by_log_writes(tmp_path):
+    """A child that flushes metrics.jsonl (liveness) but crashes BEFORE each
+    checkpoint lands makes no PROGRESS: the restart budget must NOT reset on
+    the log writes, so the deterministic crash loop exhausts --max-restarts
+    instead of restarting forever. COSKAD_CRASH_BEFORE_CKPT_AT_EPOCH=1 fires
+    after every attempt's epoch-1 fit (metrics logged) and before its
+    checkpoint, so every resume replays epoch 1 and crashes identically."""
+    epochs = 4
+    root = str(tmp_path / "logloop")
+    cfg = make_synthetic_dataset(root, seed=5)
+    r = subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config", cfg,
+         "--epochs", str(epochs), "--max-restarts", "2", "--backoff", "0.1",
+         "--stall-timeout", "300", "--poll", "1"],
+        env=_child_env(COSKAD_CRASH_BEFORE_CKPT_AT_EPOCH="1"),
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 1, r.stdout[-2000:] + r.stderr[-3000:]
+    assert "giving up" in r.stderr
+    # The child really was logging between crashes (liveness signal existed).
+    ckpt_dir = os.path.join(root, "checkpoints", "Synthetic", "smoke")
+    assert os.path.exists(os.path.join(ckpt_dir, "metrics.jsonl"))
+    # Epoch 1's checkpoint never landed.
+    from coskad_tpu.train import checkpoint
+
+    pl = checkpoint.read_payload(_final_ckpt(root))
+    assert pl["extra"]["epoch"] == 0
+
+
+def test_checkpoint_carries_schedule_state(tmp_path):
+    """last.ckpt must persist the Trainer's host-side schedule state (global
+    epoch counter + plateau-reducer counters) so a resumed run reproduces an
+    uninterrupted one even when ReduceLROnPlateau is active."""
+    root = str(tmp_path / "sched")
+    cfg = make_synthetic_dataset(root, seed=5)
+    r = _run_train(cfg, 2, _child_env())
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    from coskad_tpu.train import checkpoint
+
+    extra = checkpoint.read_payload(_final_ckpt(root))["extra"]
+    assert extra["epochs_done"] == 2
+    assert "plateau_best_auc" in extra and "plateau_since_best" in extra
+
+    # Round-trip through the Trainer API (no Trainer construction needed —
+    # the fields are plain attributes).
+    from coskad_tpu.train.loop import Trainer
+
+    t = Trainer.__new__(Trainer)
+    t._epochs_done, t._best_auc, t._since_best = 0, float("-inf"), 0
+    t.restore_schedule_state(extra)
+    assert t._epochs_done == 2
+    assert t._best_auc == extra["plateau_best_auc"]
+    assert t._since_best == extra["plateau_since_best"]
+
+
 def test_supervisor_gives_up_when_budget_exhausted(tmp_path):
     root = str(tmp_path / "dead")
     cfg = make_synthetic_dataset(root, seed=5)
