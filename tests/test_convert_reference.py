@@ -305,6 +305,72 @@ def test_load_sklearn_scaler(tmp_path):
     np.testing.assert_allclose(st.scale, sk.scale_)
 
 
+def test_same_weights_same_auc(tmp_path):
+    """The strongest interop contract: a converted reference checkpoint,
+    scored by OUR full eval pipeline, must produce the same final AUC as the
+    reference's own scoring loop (tests/test_scoring_parity_reference.py's
+    oracle port of eval_COSKAD.py:140-253) driven by the TORCH model's
+    latents on the identical windows and transforms."""
+    ref_ae, _ = _reference_sts()
+    import torch
+
+    from test_scoring_parity_reference import (
+        _reference_eval_utils,
+        _reference_scoring_loop,
+    )
+
+    from coskad_tpu import interop
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli.common import load_config, load_ground_truths, load_split
+    from coskad_tpu.data.transforms import apply_transforms, canonical_transforms
+
+    ref_eval = _reference_eval_utils()
+    root = str(tmp_path / "data")
+    cfg_path = make_synthetic_dataset(root, seed=11)
+    cfg = load_config(cfg_path)
+    dims = dict(input_dim=cfg.model.num_coords, layer_channels=list(cfg.model.channels),
+                hidden_dimension=cfg.model.h_dim, latent_dim=cfg.model.latent_dim,
+                n_frames=cfg.data.seg_len, n_joints=cfg.data.n_joints)
+    torch.manual_seed(11)
+    ref = ref_ae.STSE(**dims, encoder_type="sts_gcn", projector="linear",
+                      distance="euclidean", dropout=0.0)
+    ref.eval()
+    _randomize(ref, seed=11)
+    out = str(tmp_path / "converted.ckpt")
+    interop.convert_checkpoint(_lightning_ckpt(tmp_path, ref), cfg, out_path=out)
+
+    # Ours: the full eval CLI (in-process) on the converted checkpoint.
+    result = eval_cli.main(["--config", cfg_path, "--ckpt", out])
+
+    # Reference side: torch forward on the SAME windows x transforms
+    # (transform math is itself oracle-tested vs utils/dataset_utils.py),
+    # then the reference scoring loop.
+    test_ds = load_split(cfg, "test", stride=1)
+    k = cfg.data.num_transform
+    table = jnp.asarray(canonical_transforms(k))
+    base = jnp.asarray(test_ds.data)  # [NW, C, T, V]
+    nw = base.shape[0]
+    zs = []
+    for t in range(k):
+        mats = jnp.broadcast_to(table[t], (nw, 3, 3))
+        xt = np.asarray(apply_transforms(base, mats))[:, : cfg.model.num_coords]
+        with torch.no_grad():
+            zs.append(ref(torch.tensor(xt)).numpy())
+    z_all = np.concatenate(zs, 0)
+    trans = np.repeat(np.arange(k), nw)
+    meta = np.tile(np.asarray(test_ds.meta), (k, 1))
+    frames = np.tile(np.asarray(test_ds.frame_ids), (k, 1))
+    gts = load_ground_truths(cfg.data.gt_dir)
+    ref_auc, ref_pds, _ = _reference_scoring_loop(
+        ref_eval, ref.c.numpy(), z_all, trans, meta, frames, gts, k,
+        pad_size=cfg.eval.pad_size)
+
+    # fp32 jax-vs-torch forward noise (~2e-3 rtol on latents) propagates
+    # through MSE + smoothing; the rank statistic must be tight.
+    assert abs(result.auc - ref_auc) < 2e-3, (result.auc, ref_auc)
+    np.testing.assert_allclose(result.scores, ref_pds, rtol=0.05, atol=1e-4)
+
+
 def test_convert_cli_end_to_end(tmp_path):
     """cli.convert on a fake Lightning ckpt shaped like the smoke config,
     then cli.eval --ckpt on the converted checkpoint: parity of the final
