@@ -117,6 +117,71 @@ def test_supervised_stall_recovery(tmp_path):
     assert pl["extra"]["epoch"] == epochs - 1
 
 
+def test_crash_recovery_preserves_plateau_schedule(tmp_path):
+    """e2e contract for the plateau-reducer state riding in checkpoints: a
+    run whose ReduceLROnPlateau analogue TRIPS mid-run must recover from a
+    crash to the exact uninterrupted result.
+
+    Recipe: dynamic-center variant (plateau_patience=2, config.py) with
+    lr=0.0 — params are frozen, so validation AUC is exactly constant,
+    `auc > best` is never true, and the plateau deterministically trips at
+    epoch 3, lifting the LR to min_lr (1e-6) so later epochs DO move params.
+    Crashing at epoch 2 — BEFORE the trip — forces the resumed run to trip
+    from RESTORED counters: with the pre-fix counter reset, epoch 3's AUC
+    beats the reset -inf best, the plateau never trips, the LR stays 0.0
+    and the final params/opt-state differ from the uninterrupted run."""
+    import yaml
+
+    epochs = 6
+
+    def make_cfg(root):
+        cfg_path = make_synthetic_dataset(root, seed=5)
+        d = dict(yaml.safe_load(open(cfg_path)))
+        d["static_center"] = False  # dynamic center -> plateau_patience=2
+        d["opt_lr"] = 0.0
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(d, f)
+        return cfg_path
+
+    base_root = str(tmp_path / "base")
+    r = _run_train(make_cfg(base_root), epochs, _child_env())
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+
+    sup_root = str(tmp_path / "sup")
+    r = subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config",
+         make_cfg(sup_root), "--epochs", str(epochs), "--max-restarts", "2",
+         "--backoff", "0.1", "--stall-timeout", "300"],
+        env=_child_env(COSKAD_CRASH_AT_EPOCH="2"),
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+
+    import jax
+
+    from coskad_tpu.train import checkpoint
+
+    base_pl = checkpoint.read_payload(_final_ckpt(base_root))
+    sup_pl = checkpoint.read_payload(_final_ckpt(sup_root))
+    # The plateau really tripped (lr rose from 0.0 to min_lr) and the
+    # schedule state rode along.
+    assert base_pl["extra"]["plateau_since_best"] == sup_pl["extra"][
+        "plateau_since_best"]
+    base_leaves = jax.tree_util.tree_leaves_with_path(base_pl["state"])
+    sup_leaves = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(sup_pl["state"])
+    }
+    lr = [v for k, v in base_leaves
+          if "learning_rate" in jax.tree_util.keystr(k)]
+    assert lr and float(np.ravel(lr[0])[0]) > 0.0, "plateau never tripped"
+    for k, v in base_leaves:
+        ks = jax.tree_util.keystr(k)
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(sup_leaves[ks]),
+            err_msg=f"plateau-recovered run diverged at {ks}")
+
+
 def test_supervisor_budget_not_reset_by_log_writes(tmp_path):
     """A child that flushes metrics.jsonl (liveness) but crashes BEFORE each
     checkpoint lands makes no PROGRESS: the restart budget must NOT reset on
