@@ -1,14 +1,22 @@
-"""Convert a reference PyTorch-Lightning checkpoint for use with coskad_tpu.
+"""Convert checkpoints between the reference (PyTorch-Lightning) format and
+coskad_tpu, in either direction.
+
+Import (default):
 
     python -m coskad_tpu.cli.convert --config <yaml> --ckpt <lightning.ckpt> \
         [--scaler robust.pkl] [--out converted.ckpt]
 
+Export (a TPU-trained checkpoint back to the reference torch ecosystem):
+
+    python -m coskad_tpu.cli.convert --config <yaml> --to-torch \
+        --ckpt <coskad.ckpt> --out <lightning_style.ckpt>
+
 The config is the same reference-format YAML the other CLIs take (it tells
 the converter which model variant/shape to build); --scaler ingests the
 reference's fitted-RobustScaler pickle for robust-normalized datasets
-(utils/dataset.py:176-179). The output is a standard coskad_tpu msgpack
-checkpoint: evaluate it with ``cli.eval --ckpt <out>`` or fine-tune with
-``cli.train --resume`` after placing it at <ckpt_dir>/last.ckpt. See
+(utils/dataset.py:176-179). The imported output is a standard coskad_tpu
+msgpack checkpoint: evaluate it with ``cli.eval --ckpt <out>`` or fine-tune
+with ``cli.train --resume`` after placing it at <ckpt_dir>/last.ckpt. See
 coskad_tpu/interop.py for the weight-layout translation rules.
 """
 
@@ -33,12 +41,21 @@ def main(argv=None):
                         help="convert a robust-normalized config without its "
                              "robust.pkl (eval will re-fit on the test split "
                              "— scores will NOT match the reference run)")
+    parser.add_argument("--to-torch", action="store_true",
+                        help="reverse direction: --ckpt is a coskad_tpu "
+                             "checkpoint, --out a reference-format torch file")
     args = parser.parse_args(argv)
 
-    from ..interop import convert_checkpoint
+    from ..interop import convert_checkpoint, export_checkpoint
     from .common import load_config
 
     cfg = load_config(args.config)
+    if args.to_torch:
+        if not args.out:
+            parser.error("--to-torch requires --out")
+        out = export_checkpoint(args.ckpt, cfg, args.out)
+        print(f"[coskad] exported {args.ckpt} -> {out} (reference format)")
+        return out
     out = convert_checkpoint(args.ckpt, cfg, out_path=args.out,
                              scaler_path=args.scaler,
                              allow_missing_scaler=args.allow_missing_scaler)

@@ -440,6 +440,193 @@ def convert_checkpoint(
     return checkpoint.save(out_path, state, cfg=cfg, scaler=scaler, extra=extra)
 
 
+# ------------------------------------------------------------------ export
+
+
+def _dense_to_conv1x1(kernel: np.ndarray) -> np.ndarray:
+    """Dense kernel [in, out] -> torch Conv2d weight [out, in, 1, 1]."""
+    return np.ascontiguousarray(kernel.T)[:, :, None, None]
+
+
+def _kernel_to_linear_ctv(k: np.ndarray, c: int, t: int, v: int) -> np.ndarray:
+    """Inverse of _linear_ctv_kernel: our kernel [T*V*C, out] over the
+    (T, V, C) flatten -> torch Linear weight [out, C*T*V] channel-major."""
+    out = k.shape[1]
+    w4 = k.T.reshape(out, t, v, c).transpose(0, 3, 1, 2)
+    return np.ascontiguousarray(w4.reshape(out, -1))
+
+
+def _export_stsgcn_stack(
+    sd: Dict[str, np.ndarray],
+    src: str,
+    params: dict,
+    stats: dict,
+    in_channels: int,
+    schedule: List[int],
+) -> None:
+    zero = np.zeros((), np.int64)
+    for i, out_ch in enumerate(schedule):
+        lp, ls = params[f"layer_{i}"], stats[f"layer_{i}"]
+        key = f"{src}.model.{i}"
+        sd[f"{key}.gcn.A"] = np.asarray(lp["gcn"]["a_adj"])
+        sd[f"{key}.gcn.T"] = np.asarray(lp["gcn"]["t_adj"])
+        sd[f"{key}.tcn.0.weight"] = _dense_to_conv1x1(np.asarray(lp["tcn_dense"]["kernel"]))
+        if "bias" in lp["tcn_dense"]:
+            sd[f"{key}.tcn.0.bias"] = np.asarray(lp["tcn_dense"]["bias"])
+        sd[f"{key}.tcn.1.weight"] = np.asarray(lp["tcn_bn"]["scale"])
+        sd[f"{key}.tcn.1.bias"] = np.asarray(lp["tcn_bn"]["bias"])
+        sd[f"{key}.tcn.1.running_mean"] = np.asarray(ls["tcn_bn"]["mean"])
+        sd[f"{key}.tcn.1.running_var"] = np.asarray(ls["tcn_bn"]["var"])
+        sd[f"{key}.tcn.1.num_batches_tracked"] = zero
+        sd[f"{key}.prelu.weight"] = np.asarray(lp["prelu"]["alpha"]).reshape(1)
+        if in_channels != out_ch:
+            sd[f"{key}.residual.0.weight"] = _dense_to_conv1x1(
+                np.asarray(lp["residual_dense"]["kernel"]))
+            if "bias" in lp["residual_dense"]:
+                sd[f"{key}.residual.0.bias"] = np.asarray(
+                    lp["residual_dense"]["bias"])
+            sd[f"{key}.residual.1.weight"] = np.asarray(lp["residual_bn"]["scale"])
+            sd[f"{key}.residual.1.bias"] = np.asarray(lp["residual_bn"]["bias"])
+            sd[f"{key}.residual.1.running_mean"] = np.asarray(
+                ls["residual_bn"]["mean"])
+            sd[f"{key}.residual.1.running_var"] = np.asarray(
+                ls["residual_bn"]["var"])
+            sd[f"{key}.residual.1.num_batches_tracked"] = zero
+        in_channels = out_ch
+
+
+def export_state_dict(
+    model,
+    params: dict,
+    stats: dict,
+    buffers: Dict[str, np.ndarray],
+    distance: str = "euclidean",
+) -> Dict[str, np.ndarray]:
+    """Inverse of convert_state_dict: flax params/batch_stats/buffers -> a
+    reference-format torch state_dict (bare model keys, loadable strict into
+    the shipped models/sts classes where they construct). Lets a TPU-trained
+    checkpoint flow back into the reference torch ecosystem."""
+    from .models import STSAE, STSVAE
+
+    et = model.encoder_type.lower()
+    if et not in ("sts_gcn", "learnable_gcn", "static_gcn"):
+        raise ConversionError(f"no export rule for encoder_type {et!r}")
+    c_in, t, v = model.input_dim, model.n_frames, model.n_joints
+    hidden, latent = model.hidden_dimension, model.latent_dim
+    is_vae = isinstance(model, STSVAE)
+    is_ae = isinstance(model, STSAE)
+    ctv = (hidden, t, v)
+    sd: Dict[str, np.ndarray] = {}
+
+    sd["c"] = np.asarray(buffers.get("center", np.zeros(latent, np.float32)))
+    if distance.lower() == "mahalanobis":
+        sd["inv_cov_matrix"] = np.asarray(
+            buffers.get("inv_cov", np.zeros((latent, latent), np.float32)))
+    if is_vae:
+        if model.distribution == "normal":
+            sd["mean_vector"] = np.asarray(
+                buffers.get("mean_vector", np.zeros(latent, np.float32))
+            ).reshape(1, latent)
+        sd["threshold_dist"] = np.zeros((), np.float32)
+
+    schedule = list(model.layer_channels) + [hidden]
+    if et == "sts_gcn":
+        _export_stsgcn_stack(sd, "encoder", params["encoder"],
+                             stats.get("encoder", {}), c_in, schedule)
+    else:
+        for i in range(len(schedule)):
+            key = f"encoder.gcns.{i}.gcn"
+            layer = params["encoder"][f"layer_{i}"]
+            sd[f"{key}.weight"] = np.asarray(layer["weight"])
+            if "bias" in layer:
+                sd[f"{key}.bias"] = np.asarray(layer["bias"])
+            if et == "learnable_gcn":
+                sd[f"{key}.Adj"] = np.asarray(params["encoder"][f"adj_{i}"])
+
+    proj = model.projector.lower()
+
+    def _export_mlp(dst_prefix: str, p: dict, s: dict, first_ctv):
+        # Reference MLP intent layout (components.py:209-226): Linear + BN1d
+        # + ReLU per hidden layer under `net`, then the final Linear.
+        n_hidden = sum(1 for name in p if name.startswith("hidden_"))
+        for i in range(n_hidden):
+            w = np.asarray(p[f"hidden_{i}"]["kernel"])
+            w = (_kernel_to_linear_ctv(w, *first_ctv) if i == 0 and first_ctv
+                 else np.ascontiguousarray(w.T))
+            sd[f"{dst_prefix}.net.{3 * i}.weight"] = w
+            if "bias" in p[f"hidden_{i}"]:
+                sd[f"{dst_prefix}.net.{3 * i}.bias"] = np.asarray(
+                    p[f"hidden_{i}"]["bias"])
+            bn = f"{dst_prefix}.net.{3 * i + 1}"
+            sd[f"{bn}.weight"] = np.asarray(p[f"bn_{i}"]["scale"])
+            sd[f"{bn}.bias"] = np.asarray(p[f"bn_{i}"]["bias"])
+            sd[f"{bn}.running_mean"] = np.asarray(s[f"bn_{i}"]["mean"])
+            sd[f"{bn}.running_var"] = np.asarray(s[f"bn_{i}"]["var"])
+            sd[f"{bn}.num_batches_tracked"] = np.zeros((), np.int64)
+        w = np.asarray(p["out"]["kernel"])
+        w = (_kernel_to_linear_ctv(w, *first_ctv)
+             if n_hidden == 0 and first_ctv else np.ascontiguousarray(w.T))
+        sd[f"{dst_prefix}.net.{3 * n_hidden}.weight"] = w
+        if "bias" in p["out"]:
+            sd[f"{dst_prefix}.net.{3 * n_hidden}.bias"] = np.asarray(
+                p["out"]["bias"])
+
+    if is_vae:
+        head_ctv = ctv if proj != "mlp" else None
+        for head in ("fc_mean", "fc_var"):
+            k = np.asarray(params[head]["kernel"])
+            sd[f"{head}.weight"] = (
+                _kernel_to_linear_ctv(k, *ctv) if head_ctv is not None
+                else np.ascontiguousarray(k.T))
+            if "bias" in params[head]:
+                sd[f"{head}.bias"] = np.asarray(params[head]["bias"])
+        if proj == "mlp":
+            _export_mlp("btlnk", params["btlnk"], stats.get("btlnk", {}), ctv)
+    elif proj == "mlp":
+        _export_mlp("btlnk", params["btlnk"], stats.get("btlnk", {}), ctv)
+    else:
+        sd["btlnk.weight"] = _kernel_to_linear_ctv(
+            np.asarray(params["btlnk"]["kernel"]), *ctv)
+        if "bias" in params["btlnk"]:
+            sd["btlnk.bias"] = np.asarray(params["btlnk"]["bias"])
+
+    if is_ae:
+        sd["rev_btlnk.weight"] = np.ascontiguousarray(
+            np.asarray(params["rev_btlnk"]["kernel"]).T)
+        if "bias" in params["rev_btlnk"]:
+            sd["rev_btlnk.bias"] = np.asarray(params["rev_btlnk"]["bias"])
+        dec_schedule = list(model.decoder_channels or model.layer_channels[::-1])
+        _export_stsgcn_stack(sd, "decoder", params["decoder"],
+                             stats.get("decoder", {}), hidden,
+                             dec_schedule + [c_in])
+    return {k: np.asarray(val, np.float32) if val.dtype != np.int64 else val
+            for k, val in sd.items()}
+
+
+def export_checkpoint(ckpt_path: str, cfg, out_path: str) -> str:
+    """coskad_tpu msgpack checkpoint -> reference-format torch/Lightning
+    checkpoint ({'state_dict': {'model.<k>': tensor}, 'epoch': N}), loadable
+    strict by the shipped reference model classes."""
+    import torch
+
+    from .models import build_model
+    from .train import checkpoint
+    from .train.loop import model_kwargs_from_config
+
+    model = build_model(**model_kwargs_from_config(cfg))
+    payload = checkpoint.read_payload(ckpt_path)
+    state = payload["state"]
+    buffers = {k: np.asarray(state[k]) for k in
+               ("center", "inv_cov", "mean_vector") if k in state}
+    sd = export_state_dict(model, state["params"],
+                           state.get("batch_stats", {}) or {}, buffers,
+                           distance=cfg.model.distance)
+    out = {"state_dict": {f"model.{k}": torch.tensor(v) for k, v in sd.items()},
+           "epoch": int(payload.get("extra", {}).get("epoch", -1))}
+    torch.save(out, out_path)
+    return out_path
+
+
 def load_sklearn_scaler(path: str):
     """Read the reference's fitted-RobustScaler pickle
     (utils/dataset.py:176-179) into a RobustScalerState."""

@@ -264,6 +264,99 @@ def test_convert_stsvae_identity_projector(tmp_path):
                                rtol=5e-3, atol=5e-4)
 
 
+def _round_trip(tmp_path, ref, ours, distance="euclidean"):
+    """ref torch sd -> convert -> export; assert the exported dict equals the
+    original exactly (the layout translation is pure permutes/transposes)."""
+    from coskad_tpu import interop
+
+    variables, buffers = _convert(tmp_path, ref, ours)
+    exported = interop.export_state_dict(
+        ours, variables["params"], variables["batch_stats"], buffers,
+        distance=distance)
+    original = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    missing = set(original) - set(exported)
+    # The static encoder's fixed adjacency may be a persisted buffer; both
+    # sides rebuild it deterministically, so it is the one key not exported.
+    assert all(k.lower().endswith("adj") for k in missing), missing
+    extra = set(exported) - set(original)
+    assert not extra, extra
+    for k, v in exported.items():
+        np.testing.assert_array_equal(
+            v, original[k], err_msg=f"round-trip mismatch at {k}")
+
+
+@pytest.mark.parametrize("encoder_type", ["sts_gcn", "learnable_gcn",
+                                          "static_gcn"])
+def test_export_round_trip_stse(tmp_path, encoder_type):
+    ref_ae, _ = _reference_sts()
+    import torch
+
+    from coskad_tpu.models import STSE
+
+    torch.manual_seed(6)
+    ref = ref_ae.STSE(**DIMS, encoder_type=encoder_type, projector="linear",
+                      distance="euclidean", dropout=0.0)
+    ref.eval()
+    _randomize(ref, seed=6)
+    ours = STSE(**{k: tuple(val) if isinstance(val, list) else val
+                   for k, val in DIMS.items()},
+                encoder_type=encoder_type, projector="linear")
+    _round_trip(tmp_path, ref, ours)
+
+
+def test_export_round_trip_stsvae(tmp_path):
+    _, ref_vae = _reference_sts()
+    import torch
+
+    from coskad_tpu.models import STSVAE
+
+    torch.manual_seed(7)
+    ref = ref_vae.STSVAE(**DIMS, encoder_type="sts_gcn", projector="linear",
+                         distance="euclidean", dropout=0.0, distribution="ps",
+                         bias="cpu", device="cpu")
+    ref.eval()
+    _randomize(ref, seed=7)
+    ours = STSVAE(**{k: tuple(val) if isinstance(val, list) else val
+                     for k, val in DIMS.items()},
+                  projector="linear", distribution="ps")
+    _round_trip(tmp_path, ref, ours)
+
+
+def test_export_strict_torch_load_and_forward(tmp_path):
+    """The exported dict must load STRICT into a fresh reference model and
+    reproduce our model's forward — a TPU-trained checkpoint flows back into
+    the torch ecosystem with no key or layout drift."""
+    ref_ae, _ = _reference_sts()
+    import torch
+
+    from coskad_tpu import interop
+    from coskad_tpu.models import STSAE
+
+    torch.manual_seed(8)
+    donor = ref_ae.STSAE(**DIMS, encoder_type="sts_gcn", projector="linear",
+                         distance="euclidean", dropout=0.0)
+    donor.eval()
+    _randomize(donor, seed=8)
+    ours = STSAE(**{k: tuple(val) if isinstance(val, list) else val
+                    for k, val in DIMS.items()}, projector="linear")
+    variables, buffers = _convert(tmp_path, donor, ours)
+    exported = interop.export_state_dict(
+        ours, variables["params"], variables["batch_stats"], buffers)
+
+    fresh = ref_ae.STSAE(**DIMS, encoder_type="sts_gcn", projector="linear",
+                         distance="euclidean", dropout=0.0)
+    fresh.load_state_dict({k: torch.tensor(v) for k, v in exported.items()},
+                          strict=True)
+    fresh.eval()
+    x = _x(8)
+    z, recon = ours.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref_z, ref_recon = fresh(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(z), ref_z.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(recon), ref_recon.numpy(),
+                               rtol=5e-3, atol=5e-4)
+
+
 def test_convert_rejects_st_gcn(tmp_path):
     from coskad_tpu import interop
     from coskad_tpu.models import STSE
