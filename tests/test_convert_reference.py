@@ -464,6 +464,39 @@ def test_same_weights_same_auc(tmp_path):
     np.testing.assert_allclose(result.scores, ref_pds, rtol=0.05, atol=1e-4)
 
 
+def test_anomaly_scorer_on_converted_checkpoint(tmp_path):
+    """The serving surface works off a converted reference checkpoint, and
+    score_windows reproduces the torch model's window MSE-to-center."""
+    ref_ae, _ = _reference_sts()
+    import torch
+
+    from coskad_tpu import interop
+    from coskad_tpu.cli.common import load_config, load_split
+    from coskad_tpu.serve import AnomalyScorer
+
+    root = str(tmp_path / "data")
+    cfg_path = make_synthetic_dataset(root, seed=13)
+    cfg = load_config(cfg_path)
+    dims = dict(input_dim=cfg.model.num_coords, layer_channels=list(cfg.model.channels),
+                hidden_dimension=cfg.model.h_dim, latent_dim=cfg.model.latent_dim,
+                n_frames=cfg.data.seg_len, n_joints=cfg.data.n_joints)
+    torch.manual_seed(13)
+    ref = ref_ae.STSE(**dims, encoder_type="sts_gcn", projector="linear",
+                      distance="euclidean", dropout=0.0)
+    ref.eval()
+    _randomize(ref, seed=13)
+    out = str(tmp_path / "converted.ckpt")
+    interop.convert_checkpoint(_lightning_ckpt(tmp_path, ref), cfg, out_path=out)
+
+    scorer = AnomalyScorer.from_checkpoint(out)  # cfg via .config.json snapshot
+    windows = np.asarray(load_split(cfg, "test", stride=1).data[:32])
+    s = np.asarray(scorer.score_windows(windows))
+    with torch.no_grad():
+        z = ref(torch.tensor(windows[:, : cfg.model.num_coords])).numpy()
+    ref_s = np.mean((z - ref.c.numpy()) ** 2, axis=-1)
+    np.testing.assert_allclose(s, ref_s, rtol=5e-3, atol=1e-5)
+
+
 def test_convert_cli_end_to_end(tmp_path):
     """cli.convert on a fake Lightning ckpt shaped like the smoke config,
     then cli.eval --ckpt on the converted checkpoint: parity of the final
