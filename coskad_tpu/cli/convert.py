@@ -27,7 +27,9 @@ import argparse
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="Reference Lightning ckpt -> coskad_tpu checkpoint")
+        description="Convert checkpoints between the reference Lightning "
+                    "format and coskad_tpu (default: import; --to-torch: "
+                    "export)")
     parser.add_argument("-c", "--config", required=True,
                         help="reference-format YAML describing the model")
     parser.add_argument("--ckpt", required=True,

@@ -277,12 +277,16 @@ def _map_mlp_head(
 # ----------------------------------------------------------------- convert
 
 
-def convert_state_dict(sd: Dict[str, np.ndarray], model) -> Tuple[dict, dict, dict]:
+def convert_state_dict(
+    sd: Dict[str, np.ndarray], model
+) -> Tuple[dict, dict, dict, Dict[str, np.ndarray]]:
     """Convert a reference torch state_dict into (params, batch_stats,
-    buffers) matching the flax `model` (STSE/STSAE/STSVAE from
+    buffers, passthrough) matching the flax `model` (STSE/STSAE/STSVAE from
     coskad_tpu.models). `sd` is consumed; leftover unconvertible keys raise
     unless ignorable. `buffers` carries center/inv_cov/mean_vector arrays
-    for the TrainState."""
+    for the TrainState; `passthrough` carries torch-only bookkeeping
+    (num_batches_tracked counters, threshold_dist) that has no coskad
+    equivalent but must survive a round-trip export byte-exactly."""
     import jax
     import jax.numpy as jnp
 
@@ -374,17 +378,21 @@ def convert_state_dict(sd: Dict[str, np.ndarray], model) -> Tuple[dict, dict, di
             sd, "decoder", params["decoder"], stats.get("decoder", {}),
             hidden, dec_schedule + [c_in])
 
-    leftovers = [
-        k for k in sd
-        if not k.endswith(_IGNORED_SUFFIXES) and k not in _IGNORED_KEYS
-        # the static encoder's fixed adjacency may be persisted as a buffer;
-        # both sides rebuild it deterministically (models/graph.py).
-        and not (et == "static_gcn" and k.lower().endswith("adj"))
-    ]
-    if leftovers:
+    # Torch-only bookkeeping: keep it so a later export round-trips exactly
+    # (BN step counters matter to a torch-side fine-tune with momentum=None;
+    # threshold_dist is a registered-but-unused VAE buffer, vae.py:60). The
+    # static encoder's persisted fixed adjacency also passes through — both
+    # sides rebuild it deterministically (models/graph.py), but carrying the
+    # original keeps the round-trip byte-exact.
+    passthrough = {
+        k: sd.pop(k) for k in list(sd)
+        if k.endswith(_IGNORED_SUFFIXES) or k in _IGNORED_KEYS
+        or (et == "static_gcn" and k.lower().endswith("adj"))
+    }
+    if sd:
         raise ConversionError(
-            f"unconverted reference keys (mapping gap?): {sorted(leftovers)}")
-    return params, stats, buffers
+            f"unconverted reference keys (mapping gap?): {sorted(sd)}")
+    return params, stats, buffers, passthrough
 
 
 def convert_checkpoint(
@@ -422,7 +430,7 @@ def convert_checkpoint(
 
     model = build_model(**model_kwargs_from_config(cfg))
     sd, meta = load_torch_state_dict(ckpt_path)
-    params, stats, buffers = convert_state_dict(sd, model)
+    params, stats, buffers, passthrough = convert_state_dict(sd, model)
 
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr)
     opt_state = tx.init(params)
@@ -437,6 +445,9 @@ def convert_checkpoint(
     out_path = out_path or os.path.join(cfg.ckpt_dir, "converted.ckpt")
     extra = {"epoch": int(meta.get("epoch", -1)),
              "converted_from": os.path.abspath(ckpt_path)}
+    if passthrough:
+        extra["torch_passthrough"] = {
+            k: np.asarray(v) for k, v in passthrough.items()}
     return checkpoint.save(out_path, state, cfg=cfg, scaler=scaler, extra=extra)
 
 
@@ -529,7 +540,17 @@ def export_state_dict(
             ).reshape(1, latent)
         sd["threshold_dist"] = np.zeros((), np.float32)
 
+    consumed = set()  # top-level params subtrees the mapping actually read
     schedule = list(model.layer_channels) + [hidden]
+    expected_encoder = {f"layer_{i}" for i in range(len(schedule))}
+    if et == "learnable_gcn":
+        expected_encoder |= {f"adj_{i}" for i in range(len(schedule))}
+    if set(params["encoder"]) != expected_encoder:
+        raise ConversionError(
+            f"encoder params {sorted(params['encoder'])} do not match the "
+            f"config's layer schedule (expected {sorted(expected_encoder)}) "
+            "— wrong --config for this checkpoint?")
+    consumed.add("encoder")
     if et == "sts_gcn":
         _export_stsgcn_stack(sd, "encoder", params["encoder"],
                              stats.get("encoder", {}), c_in, schedule)
@@ -542,6 +563,14 @@ def export_state_dict(
                 sd[f"{key}.bias"] = np.asarray(layer["bias"])
             if et == "learnable_gcn":
                 sd[f"{key}.Adj"] = np.asarray(params["encoder"][f"adj_{i}"])
+        if et == "static_gcn":
+            # The reference registers its fixed space-time adjacency as a
+            # persistent buffer (alternative_components.py:230); emit the
+            # deterministically-rebuilt table so strict load succeeds.
+            from .models.graph import build_spacetime_adjacency
+
+            sd["encoder.Adj"] = np.asarray(
+                build_spacetime_adjacency(t, v), np.float32)
 
     proj = model.projector.lower()
 
@@ -580,15 +609,19 @@ def export_state_dict(
                 else np.ascontiguousarray(k.T))
             if "bias" in params[head]:
                 sd[f"{head}.bias"] = np.asarray(params[head]["bias"])
+            consumed.add(head)
         if proj == "mlp":
             _export_mlp("btlnk", params["btlnk"], stats.get("btlnk", {}), ctv)
+            consumed.add("btlnk")
     elif proj == "mlp":
         _export_mlp("btlnk", params["btlnk"], stats.get("btlnk", {}), ctv)
+        consumed.add("btlnk")
     else:
         sd["btlnk.weight"] = _kernel_to_linear_ctv(
             np.asarray(params["btlnk"]["kernel"]), *ctv)
         if "bias" in params["btlnk"]:
             sd["btlnk.bias"] = np.asarray(params["btlnk"]["bias"])
+        consumed.add("btlnk")
 
     if is_ae:
         sd["rev_btlnk.weight"] = np.ascontiguousarray(
@@ -599,6 +632,17 @@ def export_state_dict(
         _export_stsgcn_stack(sd, "decoder", params["decoder"],
                              stats.get("decoder", {}), hidden,
                              dec_schedule + [c_in])
+        consumed |= {"rev_btlnk", "decoder"}
+
+    # Mirror of the import direction's leftover guard: any params subtree
+    # the mapping never read means the --config does not describe this
+    # checkpoint (e.g. a trained STSAE exported with use_decoder unset
+    # would otherwise silently drop its decoder and still strict-load).
+    unread = set(params) - consumed
+    if unread:
+        raise ConversionError(
+            f"checkpoint has params the config's model does not map: "
+            f"{sorted(unread)} — wrong --config for this checkpoint?")
     return {k: np.asarray(val, np.float32) if val.dtype != np.int64 else val
             for k, val in sd.items()}
 
@@ -606,7 +650,16 @@ def export_state_dict(
 def export_checkpoint(ckpt_path: str, cfg, out_path: str) -> str:
     """coskad_tpu msgpack checkpoint -> reference-format torch/Lightning
     checkpoint ({'state_dict': {'model.<k>': tensor}, 'epoch': N}), loadable
-    strict by the shipped reference model classes."""
+    strict by the shipped reference model classes.
+
+    Checkpoints that came FROM the reference carry their torch-only
+    bookkeeping (BN num_batches_tracked, threshold_dist, persisted
+    adjacency buffers) in extra['torch_passthrough']; it is re-applied here
+    so a reference -> coskad -> reference round-trip is byte-exact even for
+    trained checkpoints. An embedded fitted RobustScaler is written to
+    ``<out_path>.robust.pkl`` as a pickled sklearn RobustScaler (the file
+    the reference's loader expects as exp_dir/robust.pkl,
+    utils/dataset.py:176-179)."""
     import torch
 
     from .models import build_model
@@ -616,15 +669,41 @@ def export_checkpoint(ckpt_path: str, cfg, out_path: str) -> str:
     model = build_model(**model_kwargs_from_config(cfg))
     payload = checkpoint.read_payload(ckpt_path)
     state = payload["state"]
+    extra = payload.get("extra", {})
     buffers = {k: np.asarray(state[k]) for k in
                ("center", "inv_cov", "mean_vector") if k in state}
     sd = export_state_dict(model, state["params"],
                            state.get("batch_stats", {}) or {}, buffers,
                            distance=cfg.model.distance)
+    for k, v in extra.get("torch_passthrough", {}).items():
+        sd[k] = np.asarray(v)
     out = {"state_dict": {f"model.{k}": torch.tensor(v) for k, v in sd.items()},
-           "epoch": int(payload.get("extra", {}).get("epoch", -1))}
+           "epoch": int(extra.get("epoch", -1))}
     torch.save(out, out_path)
+    if "scaler" in payload:
+        _write_sklearn_scaler(payload["scaler"], out_path + ".robust.pkl")
+        print(f"[coskad] fitted scaler -> {out_path}.robust.pkl (place it as "
+              "the reference run's exp_dir/robust.pkl)")
+    elif cfg.data.normalization_strategy == "robust":
+        print("[coskad] WARNING: robust-normalized config but no fitted "
+              "scaler in the checkpoint — the reference side will re-fit "
+              "its own and scores will NOT match this run")
     return out_path
+
+
+def _write_sklearn_scaler(scaler_payload: dict, path: str) -> None:
+    """Embedded scaler arrays -> a pickled fitted sklearn RobustScaler (the
+    object type the reference pickles/loads, utils/dataset.py:176-179)."""
+    import pickle
+
+    from sklearn.preprocessing import RobustScaler
+
+    sk = RobustScaler(quantile_range=(10.0, 90.0))
+    sk.center_ = np.asarray(scaler_payload["center"], np.float64)
+    sk.scale_ = np.asarray(scaler_payload["scale"], np.float64)
+    sk.n_features_in_ = sk.center_.shape[0]
+    with open(path, "wb") as f:
+        pickle.dump(sk, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
 def load_sklearn_scaler(path: str):

@@ -80,13 +80,16 @@ def _lightning_ckpt(tmp_path, ref_model, epoch=7):
     return path
 
 
-def _convert(tmp_path, ref_model, our_model):
+def _convert(tmp_path, ref_model, our_model, with_passthrough=False):
     from coskad_tpu import interop
 
     sd, meta = interop.load_torch_state_dict(_lightning_ckpt(tmp_path, ref_model))
     assert meta["epoch"] == 7
-    params, stats, buffers = interop.convert_state_dict(sd, our_model)
-    return {"params": params, "batch_stats": stats}, buffers
+    params, stats, buffers, passthrough = interop.convert_state_dict(sd, our_model)
+    variables = {"params": params, "batch_stats": stats}
+    if with_passthrough:
+        return variables, buffers, passthrough
+    return variables, buffers
 
 
 def _x(seed=0, b=6, v=17):
@@ -265,21 +268,20 @@ def test_convert_stsvae_identity_projector(tmp_path):
 
 
 def _round_trip(tmp_path, ref, ours, distance="euclidean"):
-    """ref torch sd -> convert -> export; assert the exported dict equals the
-    original exactly (the layout translation is pure permutes/transposes)."""
+    """ref torch sd -> convert -> export (+ passthrough, as export_checkpoint
+    applies it); assert the exported dict equals the original EXACTLY, with
+    no missing or extra keys — strict-loadable by construction."""
     from coskad_tpu import interop
 
-    variables, buffers = _convert(tmp_path, ref, ours)
+    variables, buffers, passthrough = _convert(
+        tmp_path, ref, ours, with_passthrough=True)
     exported = interop.export_state_dict(
         ours, variables["params"], variables["batch_stats"], buffers,
         distance=distance)
+    exported.update({k: np.asarray(v) for k, v in passthrough.items()})
     original = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    missing = set(original) - set(exported)
-    # The static encoder's fixed adjacency may be a persisted buffer; both
-    # sides rebuild it deterministically, so it is the one key not exported.
-    assert all(k.lower().endswith("adj") for k in missing), missing
-    extra = set(exported) - set(original)
-    assert not extra, extra
+    assert set(exported) == set(original), (
+        set(original) - set(exported), set(exported) - set(original))
     for k, v in exported.items():
         np.testing.assert_array_equal(
             v, original[k], err_msg=f"round-trip mismatch at {k}")
@@ -499,8 +501,10 @@ def test_anomaly_scorer_on_converted_checkpoint(tmp_path):
 
 def test_convert_cli_end_to_end(tmp_path):
     """cli.convert on a fake Lightning ckpt shaped like the smoke config,
-    then cli.eval --ckpt on the converted checkpoint: parity of the final
-    latent + a full scoring run."""
+    then cli.eval --ckpt on the converted checkpoint, then the reverse
+    export leg: --to-torch must reproduce the original state_dict
+    byte-exactly — INCLUDING nonzero BN num_batches_tracked counters, which
+    ride through extra['torch_passthrough']."""
     ref_ae, _ = _reference_sts()
     import torch
 
@@ -517,6 +521,10 @@ def test_convert_cli_end_to_end(tmp_path):
                       distance="euclidean", dropout=0.0)
     ref.eval()
     _randomize(ref, seed=9)
+    # Simulate a genuinely trained checkpoint: nonzero BN step counters.
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.num_batches_tracked.fill_(42)
     ref_ckpt = _lightning_ckpt(tmp_path, ref, epoch=3)
 
     env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
@@ -535,3 +543,63 @@ def test_convert_cli_end_to_end(tmp_path):
         env=env, capture_output=True, text=True, timeout=540)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
     assert "final AUC score:" in r.stdout
+
+    back = str(tmp_path / "back.ckpt")
+    r = subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.convert", "--config", cfg_path,
+         "--to-torch", "--ckpt", out, "--out", back],
+        env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+    orig_sd = torch.load(ref_ckpt, map_location="cpu",
+                         weights_only=False)["state_dict"]
+    back_sd = torch.load(back, map_location="cpu",
+                         weights_only=False)["state_dict"]
+    assert set(orig_sd) == set(back_sd)
+    for k in orig_sd:
+        np.testing.assert_array_equal(
+            back_sd[k].numpy(), orig_sd[k].numpy(),
+            err_msg=f"CLI round-trip mismatch at {k}")
+
+
+def test_export_rejects_mismatched_config(tmp_path):
+    """Exporting an STSAE's params through an STSE config must refuse: the
+    unread decoder/rev_btlnk subtrees mean the --config does not describe
+    the checkpoint (silently dropping them would still strict-load)."""
+    ref_ae, _ = _reference_sts()
+    import torch
+
+    from coskad_tpu import interop
+    from coskad_tpu.models import STSAE, STSE
+
+    torch.manual_seed(14)
+    donor = ref_ae.STSAE(**DIMS, encoder_type="sts_gcn", projector="linear",
+                         distance="euclidean", dropout=0.0)
+    donor.eval()
+    ours_ae = STSAE(**{k: tuple(val) if isinstance(val, list) else val
+                       for k, val in DIMS.items()}, projector="linear")
+    variables, buffers = _convert(tmp_path, donor, ours_ae)
+    wrong = STSE(**{k: tuple(val) if isinstance(val, list) else val
+                    for k, val in DIMS.items()}, projector="linear")
+    with pytest.raises(interop.ConversionError, match="wrong --config"):
+        interop.export_state_dict(
+            wrong, variables["params"], variables["batch_stats"], buffers)
+
+
+def test_export_writes_scaler_pickle(tmp_path):
+    """A checkpoint carrying a fitted scaler exports it as a pickled sklearn
+    RobustScaler beside the torch file (the reference's robust.pkl)."""
+    import pickle
+
+    from coskad_tpu.interop import _write_sklearn_scaler, load_sklearn_scaler
+
+    path = str(tmp_path / "x.ckpt.robust.pkl")
+    _write_sklearn_scaler(
+        {"center": np.array([1.0, -2.0]), "scale": np.array([3.0, 0.5])}, path)
+    with open(path, "rb") as f:
+        sk = pickle.load(f)
+    np.testing.assert_allclose(sk.center_, [1.0, -2.0])
+    np.testing.assert_allclose(sk.scale_, [3.0, 0.5])
+    # and the import direction reads it back
+    st = load_sklearn_scaler(path)
+    np.testing.assert_allclose(st.center, [1.0, -2.0])
+    np.testing.assert_allclose(st.scale, [3.0, 0.5])
