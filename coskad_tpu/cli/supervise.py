@@ -69,6 +69,11 @@ def supervise(argv=None) -> int:
     parser.add_argument("--stall-timeout", type=float, default=900.0,
                         help="seconds without any ckpt_dir write before the "
                              "child is declared wedged and SIGTERMed")
+    parser.add_argument("--startup-grace", type=float, default=3600.0,
+                        help="stall allowance before the attempt's FIRST "
+                             "ckpt_dir write (data load + first JIT compile "
+                             "produce no writes; a cold start longer than "
+                             "--stall-timeout must not read as a wedge)")
     parser.add_argument("--backoff", type=float, default=2.0,
                         help="initial restart delay, doubled per consecutive "
                              "failure")
@@ -105,6 +110,12 @@ def supervise(argv=None) -> int:
         ckpt_anchor = _latest_mtime(ckpt_dir, suffix=".ckpt")
         child = subprocess.Popen(cmd)
         stalled = False
+        # Until this attempt's child proves it reached the write-producing
+        # part of the run, judge it by --startup-grace: the cold-start
+        # window (data load + first JIT compile, minutes on a real dataset)
+        # writes nothing to ckpt_dir, and killing a healthy compiling child
+        # restarts it into the identical silence until the budget runs out.
+        saw_write = False
         while child.poll() is None:
             time.sleep(args.poll)
             newest_ckpt = _latest_mtime(ckpt_dir, suffix=".ckpt")
@@ -112,11 +123,14 @@ def supervise(argv=None) -> int:
                 ckpt_anchor = newest_ckpt
                 failures = 0  # checkpoint progress -> fresh restart budget
             newest = _latest_mtime(ckpt_dir)
+            limit = args.stall_timeout if saw_write else max(
+                args.stall_timeout, args.startup_grace)
             if newest > stall_anchor:
                 stall_anchor = newest
-            elif time.time() - stall_anchor > args.stall_timeout:
+                saw_write = True
+            elif time.time() - stall_anchor > limit:
                 print(f"[supervise] no ckpt_dir write for "
-                      f"{args.stall_timeout:.0f}s — stall; SIGTERM child "
+                      f"{limit:.0f}s — stall; SIGTERM child "
                       f"pid {child.pid}", file=sys.stderr, flush=True)
                 child.send_signal(signal.SIGTERM)
                 try:

@@ -29,6 +29,17 @@ def main(argv=None):
 
     enable_compile_cache()
 
+    # Fault injection (tests/test_supervise.py): simulate a cold start
+    # (data load + first JIT compile) longer than the supervisor's
+    # --stall-timeout — no ckpt_dir write lands during it, and the
+    # supervisor's --startup-grace, not the stall timeout, must apply.
+    delay = float(os.environ.get("COSKAD_STARTUP_DELAY_S", "0") or 0)
+    if delay > 0:
+        import time
+
+        print(f"[coskad] injected startup delay {delay:.0f}s", flush=True)
+        time.sleep(delay)
+
     from ..train import checkpoint
     from ..train.loop import Trainer
     from ..utils.logging import MetricLogger

@@ -387,7 +387,12 @@ def convert_state_dict(
     passthrough = {
         k: sd.pop(k) for k in list(sd)
         if k.endswith(_IGNORED_SUFFIXES) or k in _IGNORED_KEYS
-        or (et == "static_gcn" and k.lower().endswith("adj"))
+        # Exactly the one persisted buffer (alternative_components.py:230):
+        # a suffix match would also swallow per-layer learnable adjacencies
+        # (encoder.gcns.{i}.gcn.Adj) when a learnable_gcn ckpt is converted
+        # with a static_gcn config, hiding the mapping gap the completeness
+        # guard below exists to catch.
+        or (et == "static_gcn" and k == "encoder.Adj")
     }
     if sd:
         raise ConversionError(
@@ -432,7 +437,15 @@ def convert_checkpoint(
     sd, meta = load_torch_state_dict(ckpt_path)
     params, stats, buffers, passthrough = convert_state_dict(sd, model)
 
-    tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr)
+    # Must match Trainer's checkpointed opt_state layout exactly: the
+    # Trainer wraps the inner transform in optax.flatten (train/loop.py
+    # tx setter), so mu/nu are single flat vectors. Initializing the
+    # un-flattened optimizer here would produce tree-shaped mu/nu that
+    # flax's from_state_dict restores WITHOUT a structure check — a
+    # converted ckpt used with `cli.train --resume` would then crash (or
+    # worse) inside the jitted epoch on the mu/grads tree mismatch.
+    tx = optax.flatten(
+        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.opt.lr))
     opt_state = tx.init(params)
     state = init_state(params, stats, opt_state, cfg.model.latent_dim,
                        jax.random.PRNGKey(cfg.run.seed))

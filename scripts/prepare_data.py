@@ -283,11 +283,19 @@ def main(argv=None) -> int:
         return 1
 
     if args.out_config:
+        # Only HR-Avenue / HR-STC / UBnormal config dirs ship; the non-HR
+        # names are valid --dataset choices (they share the HR layout) but
+        # must borrow the HR template.
+        tdir = ("UBnormal" if "UBnormal" in args.dataset
+                else "HR-Avenue" if "Avenue" in args.dataset
+                else "HR-STC")
         template = args.template or os.path.join(
-            os.path.dirname(__file__), "..", "config",
-            "UBnormal" if "UBnormal" in args.dataset else args.dataset,
+            os.path.dirname(__file__), "..", "config", tdir,
             "euclidean_encoder.yaml",
         )
+        if not os.path.isfile(template):
+            _say(f"PROBLEM: config template not found: {template}")
+            return 1
         emit_config(template, args.out_config, args.root, args.dataset,
                     args.robust_root, args.smoke)
         _say("next: python -m coskad_tpu.cli.train --config "

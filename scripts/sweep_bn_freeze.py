@@ -79,6 +79,10 @@ def main():
           f"val windows {val_ds.num_windows}, clips {len(gts)}")
 
     freezes = args.freezes
+    # The summary's paired deltas need the never-frozen baseline; force it
+    # in rather than KeyError-ing in the report AFTER hours of training.
+    if freezes is not None and -1 not in freezes:
+        freezes = [-1, *freezes]
     if freezes is None:
         e = args.epochs
         freezes = [-1, int(e * 0.75), int(e * 0.50), int(e * 0.25),

@@ -603,3 +603,56 @@ def test_export_writes_scaler_pickle(tmp_path):
     st = load_sklearn_scaler(path)
     np.testing.assert_allclose(st.center, [1.0, -2.0])
     np.testing.assert_allclose(st.scale, [3.0, 0.5])
+
+
+def test_convert_opt_state_matches_trainer_layout(tmp_path):
+    """The documented fine-tune path: a converted checkpoint dropped in as
+    <ckpt_dir>/last.ckpt and resumed with cli.train --resume. The Trainer
+    checkpoints optax.flatten-wrapped Adam state (flat mu/nu vectors,
+    train/loop.py tx setter); convert_checkpoint must emit the SAME layout —
+    flax's from_state_dict performs no structure validation, so a
+    tree-shaped mu/nu in the converted file would silently replace the
+    template's flat leaves and blow up (or corrupt the update) inside the
+    first jitted epoch."""
+    ref_ae, _ = _reference_sts()
+    import torch
+
+    from coskad_tpu import interop
+    from coskad_tpu.cli import train as train_cli
+    from coskad_tpu.cli.common import load_config, load_split
+    from coskad_tpu.train import checkpoint
+    from coskad_tpu.train.loop import Trainer
+
+    root = str(tmp_path / "data")
+    cfg_path = make_synthetic_dataset(root, seed=13, n_train_clips=1,
+                                      n_test_clips=1)
+    cfg = load_config(cfg_path)
+    dims = dict(input_dim=cfg.model.num_coords,
+                layer_channels=list(cfg.model.channels),
+                hidden_dimension=cfg.model.h_dim,
+                latent_dim=cfg.model.latent_dim,
+                n_frames=cfg.data.seg_len, n_joints=cfg.data.n_joints)
+    torch.manual_seed(13)
+    ref = ref_ae.STSE(**dims, encoder_type="sts_gcn", projector="linear",
+                      distance="euclidean", dropout=0.0)
+    ref.eval()
+    _randomize(ref, seed=13)
+    os.makedirs(cfg.ckpt_dir, exist_ok=True)
+    out = os.path.join(cfg.ckpt_dir, "last.ckpt")
+    interop.convert_checkpoint(_lightning_ckpt(tmp_path, ref, epoch=0),
+                               cfg, out_path=out)
+
+    # Structural contract: restoring the converted ckpt onto a fresh
+    # Trainer template must preserve the template's opt_state treedef.
+    trainer = Trainer(cfg, load_split(cfg, "train"))
+    template = trainer.init_state()
+    want = jax.tree_util.tree_structure(template.opt_state)
+    restored, _, extra = checkpoint.restore(out, template)
+    got = jax.tree_util.tree_structure(restored.opt_state)
+    assert want == got, f"opt_state structure drifted:\n{want}\nvs\n{got}"
+    assert extra["epoch"] == 0
+
+    # End-to-end: one resumed fine-tune epoch off the converted checkpoint.
+    train_cli.main(["--config", cfg_path, "--epochs", "2", "--resume"])
+    final, _, extra = checkpoint.restore(out, template)
+    assert extra["epoch"] == 1  # epoch 0 came from the ckpt, epoch 1 trained

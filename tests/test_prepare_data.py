@@ -133,3 +133,18 @@ def test_ubnormal_requires_validating_split(tmp_path):
     assert rc == 0
     cfg = load_config(out)
     assert cfg.data.val_gt_dir == vgt
+
+
+def test_non_hr_dataset_names_borrow_hr_template(tmp_path):
+    """Avenue/STC are valid --dataset choices but only HR-Avenue/HR-STC
+    config dirs ship; the default-template fallback must map to them
+    instead of dying on a missing config/Avenue/ path after validation
+    already printed all-OK."""
+    for name, tdir in [("Avenue", "HR-Avenue"), ("STC", "HR-STC")]:
+        root = _mocodad_tree(str(tmp_path / name))
+        out = str(tmp_path / f"{name}.yaml")
+        rc = prepare_data.main(
+            ["--root", root, "--dataset", name, "--out-config", out])
+        assert rc == 0, name
+        cfg = load_config(out)
+        assert cfg.data.dataset_choice == name

@@ -101,9 +101,11 @@ def test_supervised_stall_recovery(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config", cfg,
          "--epochs", str(epochs), "--max-restarts", "2", "--backoff", "0.1",
-         # stall-timeout must exceed the child's first-compile window (no
-         # ckpt_dir writes land until epoch 0 finishes, ~25 s on this host)
-         "--stall-timeout", "60", "--poll", "1"],
+         # The pre-first-write cold start (data load + first compile, no
+         # ckpt_dir writes until epoch 0 finishes) is covered by
+         # --startup-grace, not this timeout; 60 s only has to exceed the
+         # gap BETWEEN epoch writes on this host.
+         "--stall-timeout", "60", "--startup-grace", "240", "--poll", "1"],
         env=_child_env(COSKAD_HANG_AT_EPOCH="1"),
         capture_output=True, text=True, timeout=540,
     )
@@ -260,3 +262,27 @@ def test_supervisor_gives_up_when_budget_exhausted(tmp_path):
     )
     assert r.returncode == 1
     assert "giving up" in r.stderr
+
+
+def test_startup_grace_protects_slow_cold_start(tmp_path):
+    """A healthy child whose cold start (data load + first compile — no
+    ckpt_dir writes) exceeds --stall-timeout must NOT be SIGTERMed: the
+    pre-first-write window is judged by --startup-grace. Before that grace
+    existed the supervisor killed the child mid-startup every attempt until
+    the budget ran out (no checkpoint ever landed to reset it)."""
+    root = str(tmp_path / "slowstart")
+    cfg = make_synthetic_dataset(root, seed=6, n_train_clips=1,
+                                 n_test_clips=1)
+    r = subprocess.run(
+        [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config", cfg,
+         "--epochs", "2", "--max-restarts", "1", "--backoff", "0.1",
+         # injected 45s cold start > 25s stall-timeout: only the grace
+         # keeps the child alive to its first write. 25s also rides out
+         # cold-compile-cache gaps between epoch writes on this host.
+         "--stall-timeout", "25", "--startup-grace", "300", "--poll", "1"],
+        env=_child_env(COSKAD_STARTUP_DELAY_S="45"),
+        capture_output=True, text=True, timeout=540,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
+    assert "stall" not in r.stderr
+    assert "run completed after 1 attempt(s)" in r.stderr
