@@ -1,0 +1,255 @@
+"""Online (streaming) anomaly scoring over live pose streams.
+
+The reference repo scores only offline: its single inference path re-runs
+eval_COSKAD.py over a completed clip. This module adds the serving mode a
+deployment actually needs — frames arrive one at a time, scores come out
+with bounded delay — while keeping the OFFLINE SEMANTICS bit-for-bit:
+
+  * Windowing replicates split_trajectory_to_windows exactly (stride 1,
+    start_offset, the <=2-missing-frames continuity rule, and the
+    reference's quirk that a person's final possible window is only
+    emitted once a LATER row exists for them — data/windows.py:79-95,
+    mirroring utils/dataset_utils.py:234-253).
+  * Preprocessing (17->18 conversion, headless crop, normalization) is the
+    same code path as AnomalyScorer.score_clip_json. All shipped
+    normalization strategies are window-local (data/normalize.py), so
+    batch composition cannot change a window's values. 'robust'
+    normalization REQUIRES the checkpoint's fitted scaler here: offline
+    falls back to fitting on the whole clip, which a stream cannot do.
+  * Aggregation (mean of non-zero window scores per (actor, frame), max
+    over actors, pad_scores, shift+Gaussian smoothing) reuses the offline
+    functions, so ``flush()`` equals ``AnomalyScorer.score_clip_json`` on
+    the same data exactly (asserted by tests/test_streaming.py) for the
+    deterministic variants; the VAE's sampled eval path is draw-dependent
+    in offline mode too.
+
+Device efficiency: windows are NOT scored one by one (a remote-TPU
+dispatch costs 15-77 ms; scripts/bench_serving.py). ``push`` buffers
+complete windows and scores them in batches of >= ``min_batch`` in one
+scanned dispatch; ``scores_so_far``/``flush`` force the remainder. Window
+scores are cached per (person, window-start), so flush never re-scores.
+
+Usage:
+    scorer = AnomalyScorer.from_checkpoint("best.ckpt")
+    stream = StreamingScorer(scorer)
+    for frame_key, poses in camera:          # poses: {person_id: [V, 3]}
+        stream.push(frame_key, poses)
+        live = stream.scores_so_far()        # provisional, cheap-ish
+    final = stream.flush(smooth=True)        # == score_clip_json offline
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .data.windows import is_seg_continuous, keypoints17_to_coco18
+from .score.frames import actor_frame_scores, pad_scores
+from .score.smoothing import score_process
+from .serve import AnomalyScorer
+
+
+class _PersonStream:
+    """One tracked person's accumulating trajectory + window emission."""
+
+    __slots__ = ("keys", "rows", "next_start")
+
+    def __init__(self, start_offset: int):
+        self.keys: List[int] = []
+        self.rows: List[np.ndarray] = []
+        # First candidate window start (row index), advanced monotonically.
+        self.next_start = start_offset
+
+    def append(self, key: int, row: np.ndarray) -> None:
+        if self.keys and key <= self.keys[-1]:
+            raise ValueError(
+                f"frame keys must be strictly increasing per person "
+                f"(got {key} after {self.keys[-1]})"
+            )
+        self.keys.append(int(key))
+        self.rows.append(row)
+
+    def emit_new_windows(self, seg_len: int, start_offset: int):
+        """Windows that became valid with the rows pushed so far.
+
+        Offline validity for start s (data/windows.py:79-95): s is one of
+        the attempted starts (s >= start_offset and s - start_offset <
+        ceil((c - seg_len) / stride), stride 1 -> s <= start_offset + c -
+        seg_len - 1), the window is full (s + seg_len <= c), and the
+        expected consecutive keys pass the continuity rule. Both upper
+        bounds grow one row at a time, so scanning from next_start visits
+        each start exactly once over the stream's lifetime.
+        """
+        c = len(self.keys)
+        out = []
+        if c <= seg_len:
+            return out
+        limit = min(start_offset + c - seg_len - 1, c - seg_len)
+        while self.next_start <= limit:
+            s = self.next_start
+            self.next_start += 1
+            if is_seg_continuous(self.keys, self.keys[s], seg_len):
+                out.append(s)
+        return out
+
+
+class StreamingScorer:
+    """Incremental scorer wrapping a checkpoint-backed AnomalyScorer."""
+
+    def __init__(self, scorer: AnomalyScorer, min_batch: int = 256):
+        self.scorer = scorer
+        d = scorer.cfg.data
+        self.seg_len = d.seg_len
+        self.start_offset = d.start_offset
+        self.min_batch = max(int(min_batch), 1)
+        if (d.normalize_pose and d.normalization_strategy == "robust"
+                and getattr(scorer, "scaler", None) is None):
+            raise ValueError(
+                "streaming with normalization_strategy 'robust' requires "
+                "the checkpoint's fitted scaler (offline mode falls back to "
+                "fitting on the whole clip, which a stream cannot reproduce)"
+            )
+        self._persons: Dict[int, _PersonStream] = {}
+        self._order: List[int] = []  # person ids in first-seen order
+        # Complete-but-unscored windows: parallel lists.
+        self._pending_raw: List[np.ndarray] = []  # [T, V, F] raw keypoints
+        self._pending_key: List[Tuple[int, int]] = []  # (person_id, start)
+        # (person_id, start) -> (score, frame_keys[T])
+        self._scores: Dict[Tuple[int, int], Tuple[float, List[int]]] = {}
+        self._max_key = 0
+
+    # ------------------------------------------------------------ ingest
+
+    def push(self, frame_key: int, poses: Dict[int, np.ndarray]) -> None:
+        """Add one frame's tracked poses: {person_id: [V, 3] (x, y, conf)}.
+
+        Frame keys are 1-based (the AlphaPose convention the offline
+        pipeline scatters by, score/frames.py) and must be strictly
+        increasing per person. Low-confidence keypoints are zeroed by the
+        config's kp_threshold exactly like parse-time ingestion
+        (data/alphapose.py:48-50), so feeding raw detector output here
+        matches feeding the same clip's JSON to score_clip_json.
+
+        Scores are computed lazily in >= min_batch device batches; this
+        call touches the device only when the buffer fills.
+        """
+        frame_key = int(frame_key)
+        self._max_key = max(self._max_key, frame_key)
+        thr = self.scorer.cfg.data.kp_threshold
+        for pid, kp in poses.items():
+            pid = int(pid)
+            person = self._persons.get(pid)
+            if person is None:
+                person = self._persons[pid] = _PersonStream(self.start_offset)
+                self._order.append(pid)
+            row = np.asarray(kp, np.float64).copy()
+            if thr > 0 and row.shape[-1] >= 3:
+                row[row[:, 2] < thr, :2] = 0.0
+            person.append(frame_key, row)
+            for s in person.emit_new_windows(self.seg_len, self.start_offset):
+                self._pending_raw.append(
+                    np.stack(person.rows[s : s + self.seg_len], axis=0))
+                self._pending_key.append((pid, s))
+        if len(self._pending_raw) >= self.min_batch:
+            self._drain()
+
+    # ----------------------------------------------------------- scoring
+
+    def _drain(self) -> None:
+        """Score every buffered window in one batched device call."""
+        if not self._pending_raw:
+            return
+        raw = np.stack(self._pending_raw, axis=0)  # [N, T, V, F]
+        keys = self._pending_key
+        self._pending_raw, self._pending_key = [], []
+        d = self.scorer.cfg.data
+        # Same preprocessing order as AnomalyScorer.score_clip_json.
+        if d.kp18_format and raw.shape[-2] == 17:
+            raw = keypoints17_to_coco18(raw)
+        if d.headless:
+            raw = raw[:, :, :14]
+        if d.normalize_pose:
+            if d.normalization_strategy == "robust":
+                from .data.normalize import normalize_robust
+
+                raw, _ = normalize_robust(
+                    raw, vid_res=d.vid_res, symm_range=d.symm_range,
+                    scaler=self.scorer.scaler,
+                )
+            else:
+                from .data.normalize import normalize
+
+                raw, _ = normalize(
+                    raw, d.normalization_strategy, vid_res=d.vid_res,
+                    symm_range=d.symm_range, sub_mean=d.sub_mean,
+                )
+        windows = np.transpose(raw, (0, 3, 1, 2)).astype(np.float32)
+        scores = self.scorer.score_windows(windows)
+        for (pid, s), score in zip(keys, scores):
+            fk = self._persons[pid].keys[s : s + self.seg_len]
+            self._scores[(pid, s)] = (float(score), list(fk))
+
+    # -------------------------------------------------------- aggregation
+
+    def _aggregate(self, n_frames: int, smooth: bool) -> np.ndarray:
+        """Offline aggregation (score/frames.py + smoothing) over every
+        scored window — identical math to score_clip_json."""
+        if not self._scores:
+            return np.zeros(n_frames)
+        actors = np.array(sorted({pid for pid, _ in self._scores}))
+        w_scores, w_actor, w_frames = [], [], []
+        for (pid, _s), (score, fk) in self._scores.items():
+            w_scores.append(score)
+            w_actor.append(np.searchsorted(actors, pid))
+            w_frames.append(fk)
+        per_actor = actor_frame_scores(
+            np.asarray(w_scores), np.asarray(w_actor),
+            np.asarray(w_frames, np.int64), n_frames, len(actors),
+        )
+        if self.scorer.cfg.eval.pad_size != -1:
+            per_actor = np.stack([
+                pad_scores(row, n_frames, self.scorer.cfg.eval.pad_size)
+                for row in per_actor
+            ])
+        clip = per_actor.max(axis=0)
+        return score_process(clip) if smooth else clip
+
+    def scores_so_far(self, smooth: bool = False) -> np.ndarray:
+        """Provisional per-frame scores over frames seen so far (1-based
+        keys -> index key-1), forcing any buffered windows to score first.
+
+        Frames older than ``max_key - seg_len - 2`` are final UNLESS a
+        tracked person reappears after a long absence (their earlier
+        windows' emission waits on their next row — the offline
+        final-window quirk). Smoothing is whole-clip (non-causal) offline;
+        it defaults off here.
+        """
+        self._drain()
+        return self._aggregate(self._max_key, smooth)
+
+    def flush(self, n_frames: Optional[int] = None,
+              smooth: bool = True) -> np.ndarray:
+        """End of stream: score the remainder and return the full clip's
+        per-frame scores — equal to AnomalyScorer.score_clip_json on the
+        same data (deterministic variants; tests/test_streaming.py).
+
+        Like offline, the default length is the last WINDOW-COVERED frame
+        key (score_clip_json's ids.max(): the final observed row is never
+        inside a window, data/windows.py:79-95); pass n_frames to cover
+        the full clip."""
+        self._drain()
+        if n_frames is None:
+            n_frames = (max(fk[-1] for _, fk in self._scores.values())
+                        if self._scores else self._max_key)
+        return self._aggregate(int(n_frames), smooth)
+
+    # -------------------------------------------------------------- stats
+
+    @property
+    def n_windows_scored(self) -> int:
+        return len(self._scores)
+
+    @property
+    def n_windows_pending(self) -> int:
+        return len(self._pending_raw)
