@@ -102,3 +102,52 @@ def test_score_clip_json_empty_clip_and_pad(tmp_path):
     gt = np.load(os.path.join(str(tmp_path), "gt", "01_0001.npy"))
     out = scorer2.score_clip_json(clip_json, n_frames=len(gt))
     assert out.shape == (len(gt),) and np.isfinite(out).all()
+
+
+def test_serve_cli_batch_scores_without_gt(tmp_path):
+    """The GT-free batch entry point (cli/serve.py): score a directory of
+    clip JSONs off one checkpoint, write per-clip arrays, and report
+    per-clip failures without aborting the batch."""
+    import json
+
+    from coskad_tpu.cli import serve as serve_cli
+    from coskad_tpu.cli import train as train_cli
+
+    cfg_path = make_synthetic_dataset(str(tmp_path), n_train_clips=1,
+                                      n_test_clips=2)
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "Synthetic", "smoke",
+                        "best.ckpt")
+    clips_dir = os.path.join(str(tmp_path), "pose", "testing")
+    out = tmp_path / "scores"
+
+    rc = serve_cli.main(["--ckpt", ckpt, "--clips-dir", clips_dir,
+                         "--out", str(out),
+                         "--n-frames-from-gt",
+                         os.path.join(str(tmp_path), "gt")])
+    assert rc == 0
+    arrays = sorted(os.listdir(out))
+    assert len(arrays) == 2 and all(a.endswith("_scores.npy") for a in arrays)
+    gt = np.load(os.path.join(str(tmp_path), "gt", "01_0001.npy"))
+    scores = np.load(out / arrays[0])
+    assert scores.shape == (len(gt),) and np.isfinite(scores).all()
+
+    # The CLI's output must equal the library call (same ckpt, same clip).
+    from coskad_tpu.serve import AnomalyScorer
+
+    scorer = AnomalyScorer.from_checkpoint(ckpt)
+    clip0 = os.path.join(clips_dir, sorted(os.listdir(clips_dir))[0])
+    np.testing.assert_allclose(
+        scores, scorer.score_clip_json(clip0, n_frames=len(gt)), atol=1e-6)
+
+    # JSON output mode + a bad clip in the batch -> exit 1, others scored.
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    rc = serve_cli.main(["--ckpt", ckpt, str(bad), clip0, "--out",
+                         str(out), "--json", "--n-frames", str(len(gt))])
+    assert rc == 1
+    stem = os.path.basename(clip0)[: -len("_alphapose_tracked_person.json")] \
+        if clip0.endswith("_alphapose_tracked_person.json") \
+        else os.path.basename(clip0)[:-len(".json")]
+    data = json.load(open(out / f"{stem}_scores.json"))
+    assert len(data) == len(gt)
