@@ -101,22 +101,33 @@ def main(argv=None) -> int:
                 if os.path.exists(gt_path):
                     n_frames = int(np.load(gt_path).shape[0])
                     break
+            else:
+                # Silent fallback would defeat the flag's purpose (the
+                # default length is the last covered key, a few frames
+                # short of the GT mask): warn so misaligned arrays are
+                # traceable.
+                print(f"[coskad] WARNING: no GT mask for {stem} under "
+                      f"{args.n_frames_from_gt} (tried {stem}.npy and "
+                      "scene_clip prefix); falling back to the last "
+                      "window-covered frame key", file=sys.stderr)
         try:
             scores = scorer.score_clip_json(
                 path, n_frames=n_frames, smooth=not args.no_smooth)
+            stats = (f"max={scores.max():.6f} mean={scores.mean():.6f}"
+                     if scores.size else "EMPTY (0 frames)")
+            print(f"[coskad] {stem}: {scores.shape[0]} frames, {stats}")
+            if args.out:
+                if args.json:
+                    with open(os.path.join(args.out, f"{stem}_scores.json"),
+                              "w") as f:
+                        json.dump([float(s) for s in scores], f)
+                else:
+                    np.save(os.path.join(args.out, f"{stem}_scores.npy"),
+                            scores)
         except Exception as e:  # keep scoring the remaining clips
             print(f"[coskad] FAILED {path}: {e}", file=sys.stderr)
             failures += 1
             continue
-        print(f"[coskad] {stem}: {scores.shape[0]} frames, "
-              f"max={scores.max():.6f} mean={scores.mean():.6f}")
-        if args.out:
-            if args.json:
-                with open(os.path.join(args.out, f"{stem}_scores.json"),
-                          "w") as f:
-                    json.dump([float(s) for s in scores], f)
-            else:
-                np.save(os.path.join(args.out, f"{stem}_scores.npy"), scores)
     if args.out:
         print(f"[coskad] scores written to {args.out}")
     return 1 if failures else 0

@@ -120,6 +120,32 @@ class AnomalyScorer:
         scores, _rec = self.trainer.score_all(self.state, ds, data)
         return scores[:n]
 
+    def preprocess_windows(self, raw: np.ndarray) -> np.ndarray:
+        """Raw keypoint windows [N, T, V, F] -> model-ready [N, C, T, V]:
+        17->18 conversion, headless crop, the config's normalization. The
+        ONE preprocessing path for clip JSONs (score_clip_json) and live
+        streams (streaming.StreamingScorer) — their bit-exact score parity
+        depends on sharing it."""
+        d = self.cfg.data
+        if d.kp18_format and raw.shape[-2] == 17:
+            raw = keypoints17_to_coco18(raw)
+        if d.headless:
+            raw = raw[:, :, :14]
+        if d.normalize_pose:
+            if d.normalization_strategy == "robust":
+                from .data.normalize import normalize_robust
+
+                raw, _ = normalize_robust(
+                    raw, vid_res=d.vid_res, symm_range=d.symm_range,
+                    scaler=getattr(self, "scaler", None),
+                )
+            else:
+                raw, _ = normalize(
+                    raw, d.normalization_strategy, vid_res=d.vid_res,
+                    symm_range=d.symm_range, sub_mean=d.sub_mean,
+                )
+        return np.transpose(raw, (0, 3, 1, 2)).astype(np.float32)
+
     def score_clip_json(
         self, path: str, n_frames: Optional[int] = None, smooth: bool = True
     ) -> np.ndarray:
@@ -142,24 +168,7 @@ class AnomalyScorer:
                     "get an all-zero score vector"
                 )
             return np.zeros(n_frames)
-        if d.kp18_format and data.shape[-2] == 17:
-            data = keypoints17_to_coco18(data)
-        if d.headless:
-            data = data[:, :, :14]
-        if d.normalize_pose:
-            if d.normalization_strategy == "robust":
-                from .data.normalize import normalize_robust
-
-                data, _ = normalize_robust(
-                    data, vid_res=d.vid_res, symm_range=d.symm_range,
-                    scaler=getattr(self, "scaler", None),
-                )
-            else:
-                data, _ = normalize(
-                    data, d.normalization_strategy, vid_res=d.vid_res,
-                    symm_range=d.symm_range, sub_mean=d.sub_mean,
-                )
-        windows = np.transpose(data, (0, 3, 1, 2)).astype(np.float32)
+        windows = self.preprocess_windows(data)
         scores = self.score_windows(windows)
 
         meta = np.asarray(meta)

@@ -10,10 +10,10 @@ with bounded delay — while keeping the OFFLINE SEMANTICS bit-for-bit:
     reference's quirk that a person's final possible window is only
     emitted once a LATER row exists for them — data/windows.py:79-95,
     mirroring utils/dataset_utils.py:234-253).
-  * Preprocessing (17->18 conversion, headless crop, normalization) is the
-    same code path as AnomalyScorer.score_clip_json. All shipped
-    normalization strategies are window-local (data/normalize.py), so
-    batch composition cannot change a window's values. 'robust'
+  * Preprocessing is AnomalyScorer.preprocess_windows — the same code
+    path score_clip_json runs, shared so the parity cannot drift. All
+    shipped normalization strategies are window-local (data/normalize.py),
+    so batch composition cannot change a window's values. 'robust'
     normalization REQUIRES the checkpoint's fitted scaler here: offline
     falls back to fitting on the whole clip, which a stream cannot do.
   * Aggregation (mean of non-zero window scores per (actor, frame), max
@@ -29,12 +29,25 @@ complete windows and scores them in batches of >= ``min_batch`` in one
 scanned dispatch; ``scores_so_far``/``flush`` force the remainder. Window
 scores are cached per (person, window-start), so flush never re-scores.
 
+Scope and cost model (sized for clip/session-scoped streams):
+
+  * One StreamingScorer instance covers ONE clip/session — create a new
+    one per tracker session, like one score_clip_json call per clip
+    offline. Keypoint rows that can no longer appear in any future window
+    are freed as the stream advances (the ~500 B/row bulk); what grows
+    with stream length is the score cache (~100 B/window) and per-person
+    key lists — fine for clips, not for an unbounded 24/7 feed in one
+    instance.
+  * ``scores_so_far`` aggregates every scored window (O(windows scored));
+    results are memoized, so polling between drains is free, but
+    per-frame polling of a very long stream re-aggregates per drain.
+
 Usage:
     scorer = AnomalyScorer.from_checkpoint("best.ckpt")
     stream = StreamingScorer(scorer)
     for frame_key, poses in camera:          # poses: {person_id: [V, 3]}
         stream.push(frame_key, poses)
-        live = stream.scores_so_far()        # provisional, cheap-ish
+        live = stream.scores_so_far()        # provisional, memoized
     final = stream.flush(smooth=True)        # == score_clip_json offline
 """
 
@@ -44,44 +57,55 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .data.windows import is_seg_continuous, keypoints17_to_coco18
 from .score.frames import actor_frame_scores, pad_scores
 from .score.smoothing import score_process
 from .serve import AnomalyScorer
 
+# Dead history is list-surgery; only trim once this many rows are dead.
+_TRIM_SLACK = 64
+
 
 class _PersonStream:
-    """One tracked person's accumulating trajectory + window emission."""
+    """One tracked person's trajectory window emitter with history trim.
 
-    __slots__ = ("keys", "rows", "next_start")
+    ``keys``/``rows`` hold the suffix of the trajectory from absolute row
+    index ``base`` onward; rows before ``next_start`` (the next candidate
+    window start) can never appear in a future window (stride 1, starts
+    are monotone) and their data/keys are already copied into pending
+    windows at emit time, so they are freed.
+    """
+
+    __slots__ = ("keys", "rows", "next_start", "base")
 
     def __init__(self, start_offset: int):
         self.keys: List[int] = []
         self.rows: List[np.ndarray] = []
-        # First candidate window start (row index), advanced monotonically.
+        self.base = 0  # absolute row index of keys[0]/rows[0]
         self.next_start = start_offset
 
+    @property
+    def count(self) -> int:
+        return self.base + len(self.keys)
+
+    def last_key(self) -> Optional[int]:
+        return self.keys[-1] if self.keys else None
+
     def append(self, key: int, row: np.ndarray) -> None:
-        if self.keys and key <= self.keys[-1]:
-            raise ValueError(
-                f"frame keys must be strictly increasing per person "
-                f"(got {key} after {self.keys[-1]})"
-            )
         self.keys.append(int(key))
         self.rows.append(row)
 
     def emit_new_windows(self, seg_len: int, start_offset: int):
-        """Windows that became valid with the rows pushed so far.
+        """(start, rows[T,V,F], frame_keys[T]) for every window that became
+        valid with the rows appended so far.
 
         Offline validity for start s (data/windows.py:79-95): s is one of
-        the attempted starts (s >= start_offset and s - start_offset <
-        ceil((c - seg_len) / stride), stride 1 -> s <= start_offset + c -
-        seg_len - 1), the window is full (s + seg_len <= c), and the
-        expected consecutive keys pass the continuity rule. Both upper
-        bounds grow one row at a time, so scanning from next_start visits
-        each start exactly once over the stream's lifetime.
+        the attempted starts (s >= start_offset and s <= start_offset + c
+        - seg_len - 1 for stride 1), the window is full (s + seg_len <= c),
+        and the expected consecutive keys pass the <=2-missing continuity
+        rule. Both upper bounds grow one row at a time, so scanning from
+        next_start visits each start exactly once over the stream's life.
         """
-        c = len(self.keys)
+        c = self.count
         out = []
         if c <= seg_len:
             return out
@@ -89,8 +113,20 @@ class _PersonStream:
         while self.next_start <= limit:
             s = self.next_start
             self.next_start += 1
-            if is_seg_continuous(self.keys, self.keys[s], seg_len):
-                out.append(s)
+            i = s - self.base
+            ks = self.keys[i : i + seg_len]
+            # is_seg_continuous without the O(history) .index() scan: keys
+            # are strictly increasing, so |expected ∩ actual| is the count
+            # of covered keys below start_key + seg_len.
+            covered = sum(1 for k in ks if k < ks[0] + seg_len)
+            if covered >= seg_len - 2:
+                out.append((s, np.stack(self.rows[i : i + seg_len], axis=0),
+                            list(ks)))
+        dead = self.next_start - self.base
+        if dead > _TRIM_SLACK:
+            del self.keys[:dead]
+            del self.rows[:dead]
+            self.base = self.next_start
         return out
 
 
@@ -111,13 +147,13 @@ class StreamingScorer:
                 "fitting on the whole clip, which a stream cannot reproduce)"
             )
         self._persons: Dict[int, _PersonStream] = {}
-        self._order: List[int] = []  # person ids in first-seen order
         # Complete-but-unscored windows: parallel lists.
         self._pending_raw: List[np.ndarray] = []  # [T, V, F] raw keypoints
-        self._pending_key: List[Tuple[int, int]] = []  # (person_id, start)
+        self._pending_key: List[Tuple[int, int, List[int]]] = []
         # (person_id, start) -> (score, frame_keys[T])
         self._scores: Dict[Tuple[int, int], Tuple[float, List[int]]] = {}
         self._max_key = 0
+        self._agg_cache: Optional[Tuple[Tuple[int, int, bool], np.ndarray]] = None
 
     # ------------------------------------------------------------ ingest
 
@@ -126,15 +162,32 @@ class StreamingScorer:
 
         Frame keys are 1-based (the AlphaPose convention the offline
         pipeline scatters by, score/frames.py) and must be strictly
-        increasing per person. Low-confidence keypoints are zeroed by the
-        config's kp_threshold exactly like parse-time ingestion
-        (data/alphapose.py:48-50), so feeding raw detector output here
-        matches feeding the same clip's JSON to score_clip_json.
+        increasing per person; both are validated BEFORE any state
+        mutates, so a rejected push leaves the stream retryable.
+        Low-confidence keypoints are zeroed by the config's kp_threshold
+        exactly like parse-time ingestion (data/alphapose.py:48-50), so
+        feeding raw detector output here matches feeding the same clip's
+        JSON to score_clip_json.
 
         Scores are computed lazily in >= min_batch device batches; this
         call touches the device only when the buffer fills.
         """
         frame_key = int(frame_key)
+        if frame_key < 1:
+            raise ValueError(
+                f"frame keys are 1-based (got {frame_key}); a 0-based "
+                "stream would silently shift every score by one frame"
+            )
+        # Validate every person before mutating anything (atomic push).
+        for pid in poses:
+            person = self._persons.get(int(pid))
+            last = person.last_key() if person is not None else None
+            if last is not None and frame_key <= last:
+                raise ValueError(
+                    f"frame keys must be strictly increasing per person "
+                    f"(person {int(pid)}: got {frame_key} after {last}); "
+                    "no state was modified — fix the key and re-push"
+                )
         self._max_key = max(self._max_key, frame_key)
         thr = self.scorer.cfg.data.kp_threshold
         for pid, kp in poses.items():
@@ -142,15 +195,14 @@ class StreamingScorer:
             person = self._persons.get(pid)
             if person is None:
                 person = self._persons[pid] = _PersonStream(self.start_offset)
-                self._order.append(pid)
             row = np.asarray(kp, np.float64).copy()
             if thr > 0 and row.shape[-1] >= 3:
                 row[row[:, 2] < thr, :2] = 0.0
             person.append(frame_key, row)
-            for s in person.emit_new_windows(self.seg_len, self.start_offset):
-                self._pending_raw.append(
-                    np.stack(person.rows[s : s + self.seg_len], axis=0))
-                self._pending_key.append((pid, s))
+            for s, rows, fk in person.emit_new_windows(
+                    self.seg_len, self.start_offset):
+                self._pending_raw.append(rows)
+                self._pending_key.append((pid, s, fk))
         if len(self._pending_raw) >= self.min_batch:
             self._drain()
 
@@ -163,38 +215,21 @@ class StreamingScorer:
         raw = np.stack(self._pending_raw, axis=0)  # [N, T, V, F]
         keys = self._pending_key
         self._pending_raw, self._pending_key = [], []
-        d = self.scorer.cfg.data
-        # Same preprocessing order as AnomalyScorer.score_clip_json.
-        if d.kp18_format and raw.shape[-2] == 17:
-            raw = keypoints17_to_coco18(raw)
-        if d.headless:
-            raw = raw[:, :, :14]
-        if d.normalize_pose:
-            if d.normalization_strategy == "robust":
-                from .data.normalize import normalize_robust
-
-                raw, _ = normalize_robust(
-                    raw, vid_res=d.vid_res, symm_range=d.symm_range,
-                    scaler=self.scorer.scaler,
-                )
-            else:
-                from .data.normalize import normalize
-
-                raw, _ = normalize(
-                    raw, d.normalization_strategy, vid_res=d.vid_res,
-                    symm_range=d.symm_range, sub_mean=d.sub_mean,
-                )
-        windows = np.transpose(raw, (0, 3, 1, 2)).astype(np.float32)
+        windows = self.scorer.preprocess_windows(raw)
         scores = self.scorer.score_windows(windows)
-        for (pid, s), score in zip(keys, scores):
-            fk = self._persons[pid].keys[s : s + self.seg_len]
-            self._scores[(pid, s)] = (float(score), list(fk))
+        for (pid, s, fk), score in zip(keys, scores):
+            self._scores[(pid, s)] = (float(score), fk)
+        self._agg_cache = None
 
     # -------------------------------------------------------- aggregation
 
     def _aggregate(self, n_frames: int, smooth: bool) -> np.ndarray:
         """Offline aggregation (score/frames.py + smoothing) over every
-        scored window — identical math to score_clip_json."""
+        scored window — identical math to score_clip_json. Memoized until
+        new scores land (push-poll loops pay once per drain)."""
+        cache_key = (len(self._scores), n_frames, smooth)
+        if self._agg_cache is not None and self._agg_cache[0] == cache_key:
+            return self._agg_cache[1]
         if not self._scores:
             return np.zeros(n_frames)
         actors = np.array(sorted({pid for pid, _ in self._scores}))
@@ -213,7 +248,9 @@ class StreamingScorer:
                 for row in per_actor
             ])
         clip = per_actor.max(axis=0)
-        return score_process(clip) if smooth else clip
+        out = score_process(clip) if smooth else clip
+        self._agg_cache = (cache_key, out)
+        return out
 
     def scores_so_far(self, smooth: bool = False) -> np.ndarray:
         """Provisional per-frame scores over frames seen so far (1-based

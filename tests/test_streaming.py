@@ -125,6 +125,36 @@ def test_streaming_guards(tmp_path):
 
     stream = StreamingScorer(scorer)
     kp = np.zeros((17, 3))
+    with pytest.raises(ValueError, match="1-based"):
+        stream.push(0, {1: kp})  # 0-based keys would shift every score
     stream.push(5, {1: kp})
     with pytest.raises(ValueError, match="strictly increasing"):
         stream.push(5, {1: kp})
+
+    # Atomic push: a rejected frame must not have mutated ANY person, so
+    # the corrected frame is retryable for everyone it contained.
+    stream.push(6, {2: kp})
+    with pytest.raises(ValueError, match="strictly increasing"):
+        stream.push(6, {1: kp, 2: kp, 3: kp})  # person 2 duplicates key 6
+    stream.push(7, {1: kp, 2: kp, 3: kp})  # retry succeeds for all three
+    assert stream._persons[1].last_key() == 7
+    assert stream._persons[3].count == 1  # person 3 was NOT double-added
+
+
+def test_person_history_is_trimmed(tmp_path):
+    """Rows that can no longer appear in any future window are freed as
+    the stream advances (clip-scoped memory contract, streaming.py module
+    docstring) without perturbing window emission or scores."""
+    from coskad_tpu.streaming import StreamingScorer
+
+    scorer, clip_json = _trained_scorer(tmp_path)
+    stream = _stream_clip(StreamingScorer(scorer, min_batch=64), clip_json)
+    seg = scorer.cfg.data.seg_len
+    for pid, person in stream._persons.items():
+        assert person.base > 0, f"person {pid} history never trimmed"
+        # Retained suffix stays bounded by the trim slack + live window span.
+        assert len(person.rows) <= 64 + seg + 2
+    # Trimming must not have changed the result (flush still exact).
+    offline = scorer.score_clip_json(clip_json, n_frames=64)
+    np.testing.assert_allclose(stream.flush(n_frames=64, smooth=True),
+                               offline, rtol=0, atol=1e-6)
