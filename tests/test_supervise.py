@@ -275,14 +275,23 @@ def test_startup_grace_protects_slow_cold_start(tmp_path):
                                  n_test_clips=1)
     r = subprocess.run(
         [sys.executable, "-m", "coskad_tpu.cli.supervise", "--config", cfg,
-         "--epochs", "2", "--max-restarts", "1", "--backoff", "0.1",
-         # injected 45s cold start > 25s stall-timeout: only the grace
-         # keeps the child alive to its first write. 25s also rides out
-         # cold-compile-cache gaps between epoch writes on this host.
+         "--epochs", "2", "--max-restarts", "3", "--backoff", "0.1",
+         # Injected 45s cold start > 25s stall-timeout: only the grace keeps
+         # the child alive to its first write. The discriminating signal is
+         # the EXIT CODE, not stall-freedom: with a broken grace every
+         # attempt is SIGTERMed writeless at ~25s, the budget never resets
+         # (no checkpoint lands), and the run ends 1/"giving up". A
+         # POST-startup stall under full-suite host contention (epoch gaps
+         # >25s on this 1-core box were observed) is the watchdog working as
+         # configured; it restarts with --resume and must still finish.
          "--stall-timeout", "25", "--startup-grace", "300", "--poll", "1"],
         env=_child_env(COSKAD_STARTUP_DELAY_S="45"),
         capture_output=True, text=True, timeout=540,
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-3000:]
-    assert "stall" not in r.stderr
-    assert "run completed after 1 attempt(s)" in r.stderr
+    assert "giving up" not in r.stderr
+    # The pre-first-write window is judged by the 300s grace, so a stall
+    # fired during startup would read "no ckpt_dir write for 300s" — its
+    # absence proves no attempt was killed mid-cold-start.
+    assert "for 300s" not in r.stderr
+    assert "run completed after" in r.stderr
