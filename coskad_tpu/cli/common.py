@@ -16,6 +16,65 @@ def load_config(path: str) -> Config:
     return from_reference_yaml(path)
 
 
+def add_distributed_flag(parser) -> None:
+    """Attach the multi-host launch flag shared by the train/eval CLIs.
+
+    The reference trains on N devices with ONE command per host — Lightning
+    spawns the DDP processes itself (train_COSKAD.py:75-78, devices: [0,1];
+    eval_COSKAD.py:115). The TPU equivalent is one CLI process per host wired
+    into a global device mesh over DCN; this flag is that wiring
+    (parallel/mesh.py::initialize_distributed -> jax.distributed.initialize).
+    """
+    parser.add_argument(
+        "--distributed", default=None, metavar="SPEC",
+        help="multi-host launch: 'auto' (JAX_COORDINATOR_ADDRESS / "
+             "JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars or Cloud TPU "
+             "metadata) or explicit 'coordinator:port,num_processes,"
+             "process_id' — run the same command on every host with its own "
+             "process_id")
+
+
+def init_distributed(spec: Optional[str]) -> None:
+    """Wire jax.distributed from a --distributed SPEC. Must run before any
+    JAX device use (backend init); a no-op when spec is None/''."""
+    if not spec:
+        return
+    from ..parallel.mesh import initialize_distributed
+
+    if spec in ("auto", "env"):
+        initialize_distributed()
+        return
+    parts = spec.rsplit(",", 2)
+    if len(parts) != 3:
+        raise ValueError(
+            f"--distributed expects 'coordinator:port,num_processes,"
+            f"process_id' or 'auto', got {spec!r}"
+        )
+    initialize_distributed(parts[0], int(parts[1]), int(parts[2]))
+
+
+def is_primary() -> bool:
+    """True on the process that owns file writes (ckpts, metrics, plots).
+    All processes compute identical host-side results (scores/latents are
+    allgathered, train/loop.py::_fetch_global), so gating WRITES on rank 0
+    is enough to keep a shared filesystem race-free."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def distributed_barrier(name: str) -> None:
+    """Cross-process sync point; no-op single-process. Used before process
+    exit so one rank's teardown cannot land under another's live collectives
+    (the gloo transport is torn down with the process)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def load_split(
     cfg: Config, split: str, stride: Optional[int] = None, scaler=None
 ) -> SegmentDataset:
@@ -101,6 +160,8 @@ def load_split(
         and split == "train"
         and scaler is None
         and ds.scaler is not None
+        and is_primary()  # multi-host: every rank fits the identical scaler
+        # from the identical data; only rank 0 persists it (write race).
     ):
         import pickle
 

@@ -32,7 +32,16 @@ def main(argv=None):
                              "print best thresholds (reference "
                              "eval_COSKAD.py:237-241 writes "
                              "<ckpt>_tN_roc_hyp.png for non-Avenue runs)")
+    from .common import (add_distributed_flag, distributed_barrier,
+                         init_distributed, is_primary)
+
+    add_distributed_flag(parser)
     args = parser.parse_args(argv)
+
+    # Multi-host wiring first (reference analogue: trainer.predict under
+    # strategy='ddp', eval_COSKAD.py:115): one eval command per host, scores
+    # allgathered, every rank computes the identical final AUC.
+    init_distributed(args.distributed)
 
     from ..utils.cache import enable_compile_cache
 
@@ -93,17 +102,20 @@ def main(argv=None):
     avenue = AVENUE_MASKED_CLIPS if cfg.data.dataset_choice == "HR-Avenue" else {}
 
     # Shared-meta form (metadata identical across transforms, scores
-    # transform-major) — one sort/gather of the NW base rows.
+    # transform-major) — one sort/gather of the NW base rows. File outputs
+    # (score npys, ROC PNGs) are rank-0-only in multi-host runs; the scores
+    # fed in are identical on every rank (allgathered in score_all).
+    primary = is_primary()
     result = evaluate_windows(
         scores, None, test_ds.meta, test_ds.frame_ids, gts,
         ScoringConfig(num_transform=k, pad_size=cfg.eval.pad_size),
         hr_clip_masks=hr_masks, avenue_clip_masks=avenue,
-        save_scores_dir=args.save_scores,
+        save_scores_dir=args.save_scores if primary else None,
     )
     # Per-clip AUC inside every transform iteration with a running average,
     # structurally matching the reference's printout (eval_COSKAD.py:222-240).
     clip_keys = sorted({(s, c) for (_, s, c) in result.per_clip_auc_all})
-    for t in range(k):
+    for t in range(k) if primary else ():
         errors = []
         for idx, (scene, clip) in enumerate(clip_keys):
             auc = result.per_clip_auc_all.get((t, scene, clip), float("nan"))
@@ -115,7 +127,7 @@ def main(argv=None):
             )
         print(f"\nTest set score for transformation {t + 1}\n")
         print(f"auc = {result.per_transform_auc[t]}")
-    if args.save_roc:
+    if args.save_roc and primary:
         from ..score.auc import best_threshold
         from ..visualize.plots import plot_roc
 
@@ -130,6 +142,7 @@ def main(argv=None):
         plot_roc(result.gt, result.scores,
                  os.path.join(args.save_roc, "final_roc.png"))
     print(f"final AUC score: {result.auc:.6f}")
+    distributed_barrier("coskad_eval_done")
     return result
 
 

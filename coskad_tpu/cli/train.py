@@ -23,7 +23,16 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None, help="override epoch count")
     parser.add_argument("--resume", action="store_true",
                         help="resume from <exp_dir>/last.ckpt if present")
+    from .common import (add_distributed_flag, distributed_barrier,
+                         init_distributed, is_primary)
+
+    add_distributed_flag(parser)
     args = parser.parse_args(argv)
+
+    # Multi-host wiring FIRST: jax.distributed.initialize must precede any
+    # backend/device use. One command per host, like the reference's one
+    # command per node under Lightning DDP spawn (train_COSKAD.py:75-78).
+    init_distributed(args.distributed)
 
     from ..utils.cache import enable_compile_cache
 
@@ -46,8 +55,10 @@ def main(argv=None):
     from .common import load_config, load_ground_truths, load_split
 
     cfg = load_config(args.config)
+    primary = is_primary()
     print(f"[coskad] variant={cfg.model.variant} dataset={cfg.data.dataset_choice} "
-          f"devices={jax.device_count()}")
+          f"devices={jax.device_count()} "
+          f"process={jax.process_index()}/{jax.process_count()}")
 
     train_ds = load_split(cfg, "train")
     print(f"[coskad] train windows: {train_ds.num_windows} "
@@ -68,7 +79,10 @@ def main(argv=None):
 
     ckpt_dir = cfg.ckpt_dir
     os.makedirs(ckpt_dir, exist_ok=True)
-    logger = MetricLogger(log_dir=ckpt_dir)
+    # Every rank computes identical host-side results (validation scores are
+    # allgathered), so only rank 0 writes metrics + checkpoints — the others
+    # would race it on a shared filesystem for byte-identical bytes.
+    logger = MetricLogger(log_dir=ckpt_dir if primary else None)
     trainer = Trainer(cfg, train_ds, val_ds, gts, logger=logger)
     state = trainer.init_state()
     # Two best checkpoints, like the reference's ModelCheckpoint(save_top_k=2)
@@ -94,6 +108,14 @@ def main(argv=None):
         print(f"[coskad] center initialized, |c| = "
               f"{float(jax.numpy.linalg.norm(state.center)):.4f}")
 
+    # Fault-injection scoping for multi-process runs: COSKAD_CRASH_RANK
+    # restricts the COSKAD_*_AT_EPOCH injections to one process id, so the
+    # multi-host supervisor test can kill exactly one rank of a group
+    # (tests/test_distributed_cli.py). Unset = every rank (single-process
+    # behaviour unchanged).
+    crash_rank = os.environ.get("COSKAD_CRASH_RANK", "")
+    injectable = crash_rank in ("", str(jax.process_index()))
+
     epochs = args.epochs if args.epochs is not None else cfg.opt.epochs
     for epoch in range(start_epoch, epochs):
         state, history = trainer.fit(state=state, epochs=1)
@@ -102,40 +124,47 @@ def main(argv=None):
         # deterministic every-attempt failure that must exhaust the
         # supervisor's restart budget (log writes are liveness, not
         # progress).
-        if os.environ.get("COSKAD_CRASH_BEFORE_CKPT_AT_EPOCH", "") == str(epoch):
+        if injectable and os.environ.get(
+                "COSKAD_CRASH_BEFORE_CKPT_AT_EPOCH", "") == str(epoch):
             print(f"[coskad] injected pre-ckpt crash at epoch {epoch}", flush=True)
             os._exit(23)
         auc = history["validation_auc"][-1] if history["validation_auc"] else None
+        # The best/best2 bookkeeping runs on every rank (auc is identical
+        # everywhere — scores are allgathered), but only rank 0 touches disk.
         best_path = os.path.join(ckpt_dir, "best.ckpt")
         if auc is not None and auc > best_auc:
-            if best_auc > -1.0 and os.path.exists(best_path):
+            if primary and best_auc > -1.0 and os.path.exists(best_path):
                 os.replace(best_path, os.path.join(ckpt_dir, "best2.ckpt"))
+            if best_auc > -1.0:
                 best2_auc = best_auc
             best_auc = auc
-            checkpoint.save(
-                best_path, state, cfg,
-                scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
-            )
+            if primary:
+                checkpoint.save(
+                    best_path, state, cfg,
+                    scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
+                )
         elif auc is not None and auc > best2_auc:
             best2_auc = auc
+            if primary:
+                checkpoint.save(
+                    os.path.join(ckpt_dir, "best2.ckpt"), state, cfg,
+                    scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
+                )
+        if primary:
             checkpoint.save(
-                os.path.join(ckpt_dir, "best2.ckpt"), state, cfg,
-                scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
+                os.path.join(ckpt_dir, "last.ckpt"), state, cfg,
+                scaler=train_ds.scaler,
+                extra={"epoch": epoch, "best_auc": best_auc,
+                       "best2_auc": best2_auc, **trainer.schedule_state()},
             )
-        checkpoint.save(
-            os.path.join(ckpt_dir, "last.ckpt"), state, cfg,
-            scaler=train_ds.scaler,
-            extra={"epoch": epoch, "best_auc": best_auc,
-                   "best2_auc": best2_auc, **trainer.schedule_state()},
-        )
         # Fault injection for the supervisor's recovery test
         # (cli/supervise.py, tests/test_supervise.py): hard-crash AFTER the
         # epoch's checkpoint lands, so --resume restarts at epoch+1 and the
         # crash fires exactly once per fresh run.
-        if os.environ.get("COSKAD_CRASH_AT_EPOCH", "") == str(epoch):
+        if injectable and os.environ.get("COSKAD_CRASH_AT_EPOCH", "") == str(epoch):
             print(f"[coskad] injected crash at epoch {epoch}", flush=True)
             os._exit(17)
-        if os.environ.get("COSKAD_HANG_AT_EPOCH", "") == str(epoch):
+        if injectable and os.environ.get("COSKAD_HANG_AT_EPOCH", "") == str(epoch):
             # Wedge without exiting (a hung device client / host deadlock):
             # only the supervisor's stall detector can recover from this.
             print(f"[coskad] injected hang at epoch {epoch}", flush=True)
@@ -148,6 +177,9 @@ def main(argv=None):
             msg += f" validation_auc={auc:.4f} (best {best_auc:.4f})"
         print(msg)
     logger.close()
+    # Multi-host: leave together. An early exit tears down this process's
+    # side of the DCN transport under the peers' live collectives.
+    distributed_barrier("coskad_train_done")
     print(f"[coskad] done; checkpoints in {ckpt_dir}")
 
 
