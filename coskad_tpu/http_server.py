@@ -67,6 +67,13 @@ class StreamLimit(Exception):
     """Too many live streaming sessions (HTTP 429)."""
 
 
+class UnknownStream(Exception):
+    """Stream id does not exist (HTTP 404). A dedicated type so the 404
+    mapping cannot swallow KeyErrors escaping library code (a malformed
+    clip JSON missing 'keypoints', a missing artifact meta key) — those
+    are 400s/500s, not 'not found' (ADVICE r4)."""
+
+
 class ScoringService:
     """Backend-agnostic request logic; the HTTP handler only parses/routes.
 
@@ -86,6 +93,11 @@ class ScoringService:
         self.max_streams = int(max_streams)
         self.lock = threading.Lock()
         self.streams: Dict[str, object] = {}
+        # The request counter is the stated liveness signal; its own lock so
+        # /healthz increments never wait behind a scoring call holding
+        # self.lock (read-modify-write from ThreadingHTTPServer handler
+        # threads would otherwise drop increments).
+        self.count_lock = threading.Lock()
         self.n_requests = 0
 
     # ------------------------------------------------------------- info
@@ -170,8 +182,8 @@ class ScoringService:
         try:
             return self.streams[sid]
         except KeyError:
-            raise KeyError(f"unknown stream {sid!r} (flushed or never "
-                           "created)") from None
+            raise UnknownStream(f"unknown stream {sid!r} (flushed or never "
+                                "created)") from None
 
     def push_frames(self, sid: str, frames: list) -> dict:
         applied = 0
@@ -240,10 +252,24 @@ class _Handler(BaseHTTPRequestHandler):
             super().log_message(fmt, *args)
 
     def _send(self, code: int, payload: dict) -> None:
-        body = json.dumps(payload).encode()
+        try:
+            # allow_nan=False: bare NaN/Infinity tokens are invalid JSON and
+            # break strict clients (JSON.parse, Go, jq). Non-finite scores
+            # mean a diverged model or garbage input -> a clean 500.
+            body = json.dumps(payload, allow_nan=False).encode()
+        except ValueError:
+            code = 500
+            body = json.dumps({"error": "non-finite values in response "
+                               "(diverged model or invalid input)"}).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if not getattr(self, "_body_consumed", True):
+            # Responding with the request body still unread (unknown-route
+            # 404, oversized 400): announce + force connection close so the
+            # leftover bytes cannot be parsed as the next request line.
+            self.send_header("Connection", "close")
+            self.close_connection = True
         self.end_headers()
         self.wfile.write(body)
 
@@ -252,26 +278,44 @@ class _Handler(BaseHTTPRequestHandler):
         if n > MAX_BODY_BYTES:
             raise ValueError(f"request body {n} bytes exceeds the "
                              f"{MAX_BODY_BYTES}-byte limit")
-        return self.rfile.read(n)
+        body = self.rfile.read(n)
+        self._body_consumed = True
+        return body
 
     def _dispatch(self, method: str) -> None:
         svc: ScoringService = self.server.service
         url = urlparse(self.path)
         parts = [p for p in url.path.split("/") if p]
         qs = parse_qs(url.query)
+        # Keep-alive safety: if this request carries a body and we respond
+        # without having read it (unknown-route 404, oversized-body 400),
+        # the unread bytes would be parsed as the NEXT request line on the
+        # persistent connection, corrupting every later request — so close
+        # the connection instead of leaving the stream misaligned.
+        self._body_consumed = int(self.headers.get("Content-Length") or 0) == 0
         try:
-            svc.n_requests += 1
+            with svc.count_lock:
+                svc.n_requests += 1
             self._route(method, parts, qs, svc)
         except Unsupported as e:
             self._send(501, {"error": str(e)})
         except StreamLimit as e:
             self._send(429, {"error": str(e)})
+        except UnknownStream as e:
+            self._send(404, {"error": str(e)})
         except KeyError as e:
-            self._send(404, {"error": str(e.args[0]) if e.args else str(e)})
+            # A KeyError escaping the parse/route layer is malformed input
+            # (e.g. clip JSON missing 'keypoints'), not 'not found'.
+            self._send(400, {"error": f"missing key {e.args[0]!r}"
+                             if e.args else str(e)})
         except (ValueError, json.JSONDecodeError) as e:
             self._send(400, {"error": str(e)})
         except Exception as e:  # pragma: no cover - last-resort mapping
             self._send(500, {"error": f"{type(e).__name__}: {e}"})
+        finally:
+            # Backstop for paths that never reached _send.
+            if not self._body_consumed:
+                self.close_connection = True
 
     # -- routing
 

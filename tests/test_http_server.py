@@ -183,6 +183,89 @@ def test_error_mapping(served):
     assert status == 404
 
 
+def test_keepalive_survives_unread_body_responses(served):
+    """ADVICE r4 (medium): an error response sent before the request body
+    was read (unknown-route 404 with a POST body, oversized-body 400) must
+    not leave the unread bytes on the persistent connection — they would be
+    parsed as the next request line. The server closes such connections."""
+    import http.client
+
+    host, port = served["url"].replace("http://", "").split(":")
+    # Baseline: two good requests on ONE keep-alive connection.
+    conn = http.client.HTTPConnection(host, int(port))
+    try:
+        body = json.dumps(
+            {"windows": np.zeros((2, 3, 12, 18)).tolist()}).encode()
+        for _ in range(2):
+            conn.request("POST", "/v1/score/windows", body,
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        # 404 with a body the handler never reads: response must carry
+        # Connection: close (stream would otherwise be misaligned).
+        conn.request("POST", "/v1/nope", b'{"x": 1}',
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert resp.getheader("Connection", "").lower() == "close"
+        resp.read()
+    finally:
+        conn.close()
+
+    # Oversized Content-Length: 400 + close, and the connection cannot be
+    # corrupted by the never-sent/never-read body bytes.
+    conn = http.client.HTTPConnection(host, int(port))
+    try:
+        conn.putrequest("POST", "/v1/score/windows")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(10**12))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert resp.getheader("Connection", "").lower() == "close"
+    finally:
+        conn.close()
+
+
+def test_nonfinite_scores_yield_valid_json_500(served):
+    """ADVICE r4: NaN scores must not leak bare NaN tokens (invalid JSON);
+    the response is a clean 500 that strict clients can parse."""
+    buf = io.BytesIO()
+    bad = np.full((3, 3, 12, 18), np.nan, np.float32)
+    np.save(buf, bad)
+    status, resp = call(served["url"] + "/v1/score/windows", "POST",
+                        buf.getvalue(), ctype="application/x-npy")
+    assert status == 500
+    assert "non-finite" in resp["error"]
+
+
+def test_malformed_clip_json_is_400_not_404(served, monkeypatch):
+    """ADVICE r4: a KeyError escaping library code (e.g. clip JSON missing
+    'keypoints') is malformed input -> 400 'missing key', not 'not found';
+    only the dedicated UnknownStream type maps to 404."""
+    # Natural malformed-clip path: a mid-trajectory frame with a wrong
+    # payload is rejected as 400 (never 404) with a parseable message.
+    kp = [1.0, 2.0, 0.9] * 17
+    traj = {f"{f:04d}": {"keypoints": kp} for f in range(1, 15)}
+    traj["0007"] = {"notkeypoints": kp}
+    body = json.dumps({"1": traj}).encode()
+    status, resp = call(served["url"] + "/v1/score/clip", "POST", body)
+    assert status == 400 and "error" in resp
+
+    # The mapping itself: a KeyError raised from library code must surface
+    # as 400 'missing key', not be swallowed by the old KeyError->404 rule.
+    from coskad_tpu.serve import AnomalyScorer
+
+    def boom(self, *a, **k):
+        raise KeyError("keypoints")
+
+    monkeypatch.setattr(AnomalyScorer, "score_clip_json", boom)
+    status, resp = call(served["url"] + "/v1/score/clip", "POST", body)
+    assert status == 400
+    assert "missing key" in resp["error"] and "keypoints" in resp["error"]
+
+
 def test_artifact_backend_scores_without_model_code(served, tmp_path):
     from coskad_tpu.export_hlo import export_scorer, load_artifact
     from coskad_tpu.http_server import ScoringService, build_server
