@@ -124,6 +124,15 @@ class OptConfig:
     plateau_factor: float = 0.2
     plateau_patience: int = 100
     min_lr: float = 1e-6
+    # Mahalanobis inverse-covariance shrinkage (OFF by default = reference
+    # semantics, euclidean_encoder_staticCenter.py:133-148 inverts the raw
+    # sample covariance). The latent covariance is ill-conditioned
+    # (cond ~ 2.4e4 measured on the 2-process DCN scenario), so the inverse
+    # amplifies ~1e-6 cross-backend float noise into percent-level score
+    # spread; cov_shrinkage=l blends (1-l)*cov + l*mu*I with
+    # mu = trace(cov)/d before inverting — a robustness option the
+    # reference also lacks (VERDICT r4 #9).
+    cov_shrinkage: float = 0.0
 
 
 @dataclass
@@ -297,6 +306,7 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         lr_schedule=get("lr_schedule", ""),
         lr_decay=get("opt_lr_decay", 0.99),
         center_tolerance=get("center_tolerance", 0.001),
+        cov_shrinkage=get("cov_shrinkage", 0.0),
         contrastive_weight=get("contrastive_weight",
                                0.1 if get("dataset_double_item", False) else 0.0),
         validation=get("validation", False),

@@ -692,12 +692,28 @@ class Trainer:
         if self.cfg.model.distance == "mahalanobis":
             d = z - np.asarray(c)
             cov = (d.T @ d) / (len(z) - 1)
+            cov = self._shrink_cov(cov)
             state = state.replace(
                 inv_cov=pmesh.device_put_replicated(
                     jnp.asarray(np.linalg.inv(cov), jnp.float32), self.mesh
                 )
             )
         return state
+
+    def _shrink_cov(self, cov):
+        """Optional shrinkage toward the scaled identity mu*I
+        (mu = trace/d) before inverting: opt.cov_shrinkage in [0, 1), OFF
+        (0.0) by default = the reference's raw-inverse semantics
+        (euclidean_encoder_staticCenter.py:133-148). Tames the measured
+        cond(cov) ~ 2.4e4 noise amplification on mahalanobis scores
+        (tests/test_multiprocess.py). Works on numpy and jnp inputs."""
+        lam = self.cfg.opt.cov_shrinkage
+        if lam <= 0.0:
+            return cov
+        d = cov.shape[-1]
+        xp = jnp if isinstance(cov, jax.Array) else np
+        mu = xp.trace(cov) / d
+        return (1.0 - lam) * cov + lam * mu * xp.eye(d, dtype=cov.dtype)
 
     # ------------------------------------------------------------ epoch end
 
@@ -715,7 +731,7 @@ class Trainer:
             state = state.replace(center=c)
         if self.cfg.model.distance == "mahalanobis":
             cov = state.acc_outer / (state.acc_weight - 1.0)
-            state = state.replace(inv_cov=jnp.linalg.inv(cov))
+            state = state.replace(inv_cov=jnp.linalg.inv(self._shrink_cov(cov)))
         return state.reset_accumulators()
 
     def update_mean_vector(self, state: TrainState) -> TrainState:

@@ -331,3 +331,71 @@ def test_flat_carry_epoch_matches_tree_steps(variant):
     again, metrics = trainer._train_epoch(
         epoch_state, trainer.train_data, jnp.asarray(idx))
     assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_cov_shrinkage_tames_mahalanobis_noise_amplification():
+    """opt.cov_shrinkage (OFF by default) must damp the inverse-covariance
+    noise amplification seen in the 2-process DCN test (cond(cov) ~ 2.4e4
+    turns ~1e-6 float noise into percent-level mahalanobis score spread,
+    tests/test_multiprocess.py) by >=10x, while leaving the score RANKING —
+    hence the AUC — unchanged (VERDICT r4 #9).
+
+    The amplification statement uses a constructed latent cloud at the
+    measured conditioning (a random-init tiny model's latents are too
+    isotropic to show it); the config plumbing is then checked through the
+    real Trainer path."""
+    import types
+
+    from helpers import synthetic_segments, tiny_config
+
+    # --- the math, at cond(cov) ~ 1e4
+    rng = np.random.default_rng(0)
+    scales = np.logspace(0, -2.5, 16)  # cond(cov) ~ 1e5, the measured
+    # 2.4e4 regime's order of magnitude
+    z = rng.normal(size=(2048, 16)) * scales
+    z[-8:] *= 4.0  # planted outliers pin the ranking contract
+    noise = rng.normal(scale=1e-6, size=z.shape)
+
+    def mscores(zz, lam):
+        cfg = tiny_config(distance="mahalanobis", cov_shrinkage=lam)
+        shim = types.SimpleNamespace(cfg=cfg)  # _shrink_cov reads cfg only
+        d = zz - zz.mean(axis=0)
+        cov = (d.T @ d) / (len(zz) - 1)
+        inv = np.linalg.inv(Trainer._shrink_cov(shim, cov))
+        return np.einsum("nd,de,ne->n", d, inv, d)
+
+    deltas, clean = {}, {}
+    for lam in (0.0, 0.2):
+        clean[lam] = mscores(z, lam)
+        noisy = mscores(z + noise, lam)
+        deltas[lam] = np.max(np.abs(noisy - clean[lam]) / np.abs(clean[lam]))
+    assert deltas[0.2] < deltas[0.0] / 10, deltas
+    # The AUC-level contract: anomalous-vs-normal ordering is unchanged by
+    # the shrinkage itself (inlier-vs-inlier order may legitimately move —
+    # the metric reweights small-variance directions — but that never
+    # enters the AUC).
+    assert (set(np.argsort(clean[0.0])[-8:]) == set(np.argsort(clean[0.2])[-8:])
+            == set(range(len(z) - 8, len(z))))
+    from sklearn.metrics import roc_auc_score
+
+    labels = np.zeros(len(z)); labels[-8:] = 1
+    assert (roc_auc_score(labels, clean[0.2])
+            == roc_auc_score(labels, clean[0.0]) == 1.0)
+
+    # --- the plumbing: the knob reaches both inv-cov sites via the Trainer
+    ds, _ = synthetic_segments(n_frames=120, num_transform=1,
+                               anomalous_ranges=((90, 110),))
+    invs, tops = {}, {}
+    for lam in (0.0, 0.5):
+        cfg = tiny_config(distance="mahalanobis", cov_shrinkage=lam)
+        trainer = Trainer(cfg, ds)
+        state = trainer.initialize_center(trainer.init_state())
+        invs[lam] = np.asarray(state.inv_cov)
+        # epoch-end recompute path flows through _shrink_cov too
+        state, _ = trainer.fit(state=state, epochs=1)
+        s, _ = trainer.score_all(state, ds, trainer.train_data)
+        tops[lam] = set(np.argsort(np.asarray(s))[-16:])
+    assert not np.allclose(invs[0.0], invs[0.5])  # the knob reached init
+    # Planted outliers still dominate the ranking (boundary windows whose
+    # frames only graze the anomalous span are legitimate near-ties).
+    assert len(tops[0.0] & tops[0.5]) >= 14
