@@ -69,7 +69,16 @@ def parse_clip_json(path: str, kp_threshold: float = 0.0) -> List[PersonTrajecto
         clip_dict = json.load(f)
     trajectories = []
     for pid in sorted(clip_dict.keys(), key=lambda x: int(x)):
-        trajectories.append(parse_person(clip_dict[pid], int(pid), kp_threshold))
+        entry = clip_dict[pid]
+        # A tracked id with zero detections (empty dict, or a sharded-list
+        # form whose shards are all empty) contributes no windows; skip it
+        # instead of crashing on an empty stack. (The reference's loader
+        # would crash too — single_pose_dict2np indexes the first key — but
+        # real exports always carry >=1 detection per id; found by
+        # tests/test_data_fuzz.py.)
+        if not entry or (isinstance(entry, list) and not any(entry)):
+            continue
+        trajectories.append(parse_person(entry, int(pid), kp_threshold))
     return trajectories
 
 

@@ -95,6 +95,8 @@ def parse_clip_json_native(
     trajectories = []
     for pid in sorted(by_id.keys(), key=lambda x: int(x)):
         entry = by_id[pid]
+        if not entry:  # zero-detection person: no windows; skip, like the
+            continue   # Python path (tests/test_data_fuzz.py)
         lex_keys = sorted(entry.keys())  # lexicographic row order
         rows = []
         for key in lex_keys:
