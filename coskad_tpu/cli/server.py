@@ -37,6 +37,14 @@ def main(argv=None) -> int:
                    help="log one line per request to stderr")
     args = p.parse_args(argv)
 
+    # Persistent compile cache: without it every server START recompiles
+    # the scoring programs, and every request-size bucket compiles live
+    # while HOLDING the device lock — observed wedging the soak for
+    # minutes per new bucket (scripts/soak_server.py; RESULTS.md round 5).
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from ..http_server import ScoringService, build_server
 
     if args.ckpt:

@@ -43,6 +43,14 @@ class ModelConfig:
     distance: str = "euclidean"  # 'euclidean' | 'mahalanobis'
     distribution: str = "ps"  # VAE: 'ps' | 'normal'
     decoder_channels: Optional[Tuple[int, ...]] = None
+    # VAE ('ps') concentration floor: z_var = softplus(head) + kappa_floor.
+    # 1.0 = reference semantics (models/sts/vae.py:141 "+1 prevents
+    # collapse" — but 1 is near-uniform on S^15, and the measured
+    # late-epoch AUC collapse tracks kappa sinking toward it; RESULTS.md
+    # round-5 "VAE stabilization"). Raising the floor is the opt-in
+    # stabilizer (VERDICT r4 #3); it never binds while the KL keeps kappa
+    # above it, so best-epoch behaviour is unchanged.
+    kappa_floor: float = 1.0
 
     @property
     def use_decoder(self) -> bool:
@@ -229,6 +237,7 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         bn_mode=str(get("bn_mode", "auto")).lower(),
         distance=str(get("distance", "euclidean")).lower(),
         distribution=str(get("distribution", "ps")).lower(),
+        kappa_floor=float(get("kappa_floor", 1.0)),
         decoder_channels=(
             tuple(raw["decoder_channels"]) if raw.get("decoder_channels") else None
         ),

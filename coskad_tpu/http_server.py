@@ -161,7 +161,8 @@ class ScoringService:
 
     # ---------------------------------------------------------- streams
 
-    def create_stream(self, min_batch: Optional[int]) -> str:
+    def create_stream(self, min_batch: Optional[int],
+                      horizon: Optional[int] = None) -> str:
         from .streaming import StreamingScorer
 
         if self.artifact is not None:
@@ -175,7 +176,8 @@ class ScoringService:
             self.streams[sid] = StreamingScorer(
                 self.scorer,
                 min_batch=min_batch if min_batch is not None
-                else self.min_batch)
+                else self.min_batch,
+                horizon=horizon)
             return sid
 
     def _stream(self, sid: str):
@@ -350,7 +352,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if method == "POST" and parts == ["v1", "streams"]:
             req = json.loads(self._body() or b"{}")
-            sid = svc.create_stream(req.get("min_batch"))
+            # "horizon": rolling-GC lateness watermark in frames — one
+            # stream instance then survives an unbounded 24/7 feed
+            # (streaming.py class docstring).
+            sid = svc.create_stream(req.get("min_batch"),
+                                    req.get("horizon"))
             self._send(200, {"stream_id": sid})
             return
         if len(parts) == 3 and parts[:2] == ["v1", "streams"] \

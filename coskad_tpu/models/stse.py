@@ -276,6 +276,10 @@ class STSVAE(STSAE):
     """
 
     distribution: str = "ps"  # 'ps' | 'normal'
+    # Concentration floor for 'ps': 1.0 = the reference's "+1 prevents
+    # collapse" (models/sts/vae.py:141). Opt-in stabilizer raises it
+    # (config.ModelConfig.kappa_floor; RESULTS.md round-5 diagnosis).
+    kappa_floor: float = 1.0
 
     def setup(self):
         # STSAE.setup builds encoder/decoder/rev_btlnk; the VAE projector is
@@ -345,7 +349,7 @@ class STSVAE(STSAE):
         z_mean = self.fc_mean(z)
         if self.distribution == "ps":
             z_mean = z_mean / jnp.linalg.norm(z_mean, axis=-1, keepdims=True)
-        z_var = nn.softplus(self.fc_var(z)) + 1.0  # +1 prevents collapse
+        z_var = nn.softplus(self.fc_var(z)) + self.kappa_floor
         return z_mean, z_var
 
     def __call__(self, x, train: bool = False, sample: bool = True,
@@ -386,9 +390,9 @@ def build_model(
     differ only in objective/center rule (train/objectives.py)."""
     if use_vae:
         return STSVAE(**kwargs)
-    if use_decoder:
-        kwargs.pop("distribution", None)
-        return STSAE(**kwargs)
     kwargs.pop("distribution", None)
+    kwargs.pop("kappa_floor", None)
+    if use_decoder:
+        return STSAE(**kwargs)
     kwargs.pop("decoder_channels", None)
     return STSE(**kwargs)

@@ -36,9 +36,16 @@ def _reflect_pad(x: np.ndarray, pad: int) -> np.ndarray:
 
 def gaussian_filter1d(x: np.ndarray, sigma: float, truncate: float = 4.0) -> np.ndarray:
     """1-D Gaussian filter matching scipy.ndimage.gaussian_filter1d defaults."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.size == 0:
+        # scipy returns empty for empty input; _reflect_pad would otherwise
+        # LOOP FOREVER (pad can never be satisfied from zero rows) — hit in
+        # production by flushing an empty stream through the HTTP server
+        # while it held the device lock (scripts/soak_server.py, round 5).
+        return x.copy()
     radius = int(truncate * sigma + 0.5)
     kernel = gaussian_kernel1d(sigma, radius)
-    padded = _reflect_pad(np.asarray(x, dtype=np.float64), radius)
+    padded = _reflect_pad(x, radius)
     return np.convolve(padded, kernel, mode="valid")
 
 

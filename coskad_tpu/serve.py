@@ -101,12 +101,18 @@ class AnomalyScorer:
         """[B, C, T, V] normalized windows -> [B] anomaly scores in the
         variant's geometry (higher = more anomalous).
 
-        Windows are zero-padded to a whole number of batches so every call
-        reuses one compiled program per bucket size instead of recompiling
-        for each distinct clip length."""
+        Windows are zero-padded to GEOMETRIC buckets (batch_size * 2^k) so
+        the number of distinct compiled programs is O(log max_n) over the
+        server's lifetime, not one per distinct request size — arbitrary
+        request-size mixes (live streams drain variable window counts)
+        otherwise trigger a compile per new size while holding the serving
+        device lock (observed: minutes-long request stalls on a cold
+        cache, scripts/soak_server.py). Waste is bounded by 2x."""
         n = len(windows)
         bs = self.cfg.data.batch_size
-        bucket = max(bs * ((n + bs - 1) // bs), bs)
+        bucket = bs
+        while bucket < n:
+            bucket *= 2
         padded = np.zeros((bucket, *np.shape(windows)[1:]), np.float32)
         padded[:n] = windows
         ds = SegmentDataset(

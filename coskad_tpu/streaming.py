@@ -29,18 +29,21 @@ complete windows and scores them in batches of >= ``min_batch`` in one
 scanned dispatch; ``scores_so_far``/``flush`` force the remainder. Window
 scores are cached per (person, window-start), so flush never re-scores.
 
-Scope and cost model (sized for clip/session-scoped streams):
+Scope and cost model:
 
-  * One StreamingScorer instance covers ONE clip/session — create a new
-    one per tracker session, like one score_clip_json call per clip
-    offline. Keypoint rows that can no longer appear in any future window
-    are freed as the stream advances (the ~500 B/row bulk); what grows
-    with stream length is the score cache (~100 B/window) and per-person
-    key lists — fine for clips, not for an unbounded 24/7 feed in one
-    instance.
-  * ``scores_so_far`` aggregates every scored window (O(windows scored));
-    results are memoized, so polling between drains is free, but
-    per-frame polling of a very long stream re-aggregates per drain.
+  * Default (``horizon=None``): one StreamingScorer instance covers ONE
+    clip/session — create a new one per tracker session, like one
+    score_clip_json call per clip offline. Keypoint rows that can no
+    longer appear in any future window are freed as the stream advances
+    (the ~500 B/row bulk); what grows with stream length is the score
+    cache (~100 B/window) and per-person key lists.
+  * Unbounded 24/7 feeds: pass ``horizon=H`` (frames) — rolling GC
+    freezes frames older than H behind the stream head and frees their
+    windows and stale person streams, bounding live state to
+    O(actors x H) and re-aggregation to O(windows within H) per drain
+    (see the class docstring for the lateness-watermark contract).
+  * ``scores_so_far`` aggregates every LIVE scored window; results are
+    memoized, so polling between drains is free.
 
 Usage:
     scorer = AnomalyScorer.from_checkpoint("best.ckpt")
@@ -131,9 +134,27 @@ class _PersonStream:
 
 
 class StreamingScorer:
-    """Incremental scorer wrapping a checkpoint-backed AnomalyScorer."""
+    """Incremental scorer wrapping a checkpoint-backed AnomalyScorer.
 
-    def __init__(self, scorer: AnomalyScorer, min_batch: int = 256):
+    ``horizon=None`` (default) is session-scoped: state grows with the
+    stream (score cache + person key lists), sized for one clip like one
+    offline score_clip_json call. ``horizon=H`` turns on ROLLING GC for
+    unbounded 24/7 feeds: frames older than ``H`` behind the stream head
+    are FROZEN (their aggregated score fixed) and the window scores and
+    person streams behind them freed, so live state is O(actors x H)
+    regardless of stream length. The contract is a standard lateness
+    watermark: a window whose frames are all older than the horizon when
+    it would score is dropped — with ``H >= seg_len + 3 + (min_batch
+    buffering lag)`` no window of a continuously-tracked person is ever
+    late, and the output equals the unbounded mode / offline exactly
+    (tests/test_streaming.py). Only the frozen per-frame score vector
+    still grows (8 bytes/frame ≈ 1.7 MB/hour at 60 fps); requires
+    ``pad_size == -1`` (absence padding needs whole-stream per-actor
+    rows).
+    """
+
+    def __init__(self, scorer: AnomalyScorer, min_batch: int = 256,
+                 horizon: Optional[int] = None):
         self.scorer = scorer
         d = scorer.cfg.data
         self.seg_len = d.seg_len
@@ -146,6 +167,18 @@ class StreamingScorer:
                 "the checkpoint's fitted scaler (offline mode falls back to "
                 "fitting on the whole clip, which a stream cannot reproduce)"
             )
+        self.horizon = None if horizon is None else int(horizon)
+        if self.horizon is not None:
+            if self.horizon < self.seg_len + 3:
+                raise ValueError(
+                    f"horizon must be >= seg_len + 3 (= {self.seg_len + 3}): "
+                    "a window is only emitted once a later row exists, so a "
+                    "smaller horizon would drop every window as late")
+            if scorer.cfg.eval.pad_size != -1:
+                raise ValueError(
+                    "rolling GC (horizon) requires pad_size == -1: absence "
+                    "padding needs per-actor rows over the whole stream, "
+                    "which the GC frees")
         self._persons: Dict[int, _PersonStream] = {}
         # Complete-but-unscored windows: parallel lists.
         self._pending_raw: List[np.ndarray] = []  # [T, V, F] raw keypoints
@@ -153,6 +186,11 @@ class StreamingScorer:
         # (person_id, start) -> (score, frame_keys[T])
         self._scores: Dict[Tuple[int, int], Tuple[float, List[int]]] = {}
         self._max_key = 0
+        # Rolling-GC state: frames [0, _frozen_upto) have final (unsmoothed,
+        # actor-maxed) scores in _frozen; their windows are freed.
+        self._frozen = np.zeros(0)
+        self._frozen_upto = 0
+        self._version = 0  # bumped on every drain/GC; keys the memo cache
         self._agg_cache: Optional[Tuple[Tuple[int, int, bool], np.ndarray]] = None
 
     # ------------------------------------------------------------ ingest
@@ -217,19 +255,47 @@ class StreamingScorer:
         self._pending_raw, self._pending_key = [], []
         windows = self.scorer.preprocess_windows(raw)
         scores = self.scorer.score_windows(windows)
+        watermark = (self._max_key - self.horizon
+                     if self.horizon is not None else None)
         for (pid, s, fk), score in zip(keys, scores):
+            if watermark is not None and fk[-1] <= watermark:
+                continue  # late window behind the watermark: dropped
             self._scores[(pid, s)] = (float(score), fk)
+        self._version += 1
+        self._agg_cache = None
+        if self.horizon is not None:
+            self._gc()
+
+    def _gc(self) -> None:
+        """Advance the watermark: freeze the aggregated scores of frames
+        older than the horizon, then free the window scores and person
+        streams that can no longer contribute to a live frame. Runs only
+        right after a full drain, so no pending window is skipped."""
+        watermark = self._max_key - self.horizon
+        if watermark <= self._frozen_upto:
+            return
+        full = self._clip_scores(self._max_key)
+        self._frozen = np.concatenate(
+            [self._frozen, full[self._frozen_upto:watermark]])
+        self._frozen_upto = watermark
+        # A window whose last frame key is <= watermark covers only frozen
+        # indices (< watermark); frame key k scatters to index k-1.
+        self._scores = {k: v for k, v in self._scores.items()
+                        if v[1][-1] > watermark}
+        # A person last seen >2 frames behind the watermark cannot bridge a
+        # continuous window into the live region (the <=2-missing rule);
+        # their unemitted tail windows would be late-dropped anyway.
+        self._persons = {pid: p for pid, p in self._persons.items()
+                         if (p.last_key() or 0) >= watermark - 2}
+        self._version += 1
         self._agg_cache = None
 
     # -------------------------------------------------------- aggregation
 
-    def _aggregate(self, n_frames: int, smooth: bool) -> np.ndarray:
-        """Offline aggregation (score/frames.py + smoothing) over every
-        scored window — identical math to score_clip_json. Memoized until
-        new scores land (push-poll loops pay once per drain)."""
-        cache_key = (len(self._scores), n_frames, smooth)
-        if self._agg_cache is not None and self._agg_cache[0] == cache_key:
-            return self._agg_cache[1]
+    def _clip_scores(self, n_frames: int) -> np.ndarray:
+        """Unsmoothed actor-maxed per-frame scores over the CURRENT window
+        set (per-actor pad_scores applied in session mode; forbidden with
+        rolling GC — see __init__)."""
         if not self._scores:
             return np.zeros(n_frames)
         actors = np.array(sorted({pid for pid, _ in self._scores}))
@@ -247,7 +313,20 @@ class StreamingScorer:
                 pad_scores(row, n_frames, self.scorer.cfg.eval.pad_size)
                 for row in per_actor
             ])
-        clip = per_actor.max(axis=0)
+        return per_actor.max(axis=0)
+
+    def _aggregate(self, n_frames: int, smooth: bool) -> np.ndarray:
+        """Offline aggregation (score/frames.py + smoothing) over every
+        scored window (frozen frames splice in their fixed scores) —
+        identical math to score_clip_json. Memoized until new scores land
+        (push-poll loops pay once per drain)."""
+        cache_key = (self._version, n_frames, smooth)
+        if self._agg_cache is not None and self._agg_cache[0] == cache_key:
+            return self._agg_cache[1]
+        clip = self._clip_scores(n_frames)
+        k = min(self._frozen_upto, n_frames)
+        if k:
+            clip = np.concatenate([self._frozen[:k], clip[k:]])
         out = score_process(clip) if smooth else clip
         self._agg_cache = (cache_key, out)
         return out
@@ -277,8 +356,11 @@ class StreamingScorer:
         the full clip."""
         self._drain()
         if n_frames is None:
-            n_frames = (max(fk[-1] for _, fk in self._scores.values())
-                        if self._scores else self._max_key)
+            last = (max(fk[-1] for _, fk in self._scores.values())
+                    if self._scores else self._max_key)
+            # Rolling GC may have frozen (window-covered) frames beyond the
+            # last LIVE window; they count toward the offline default too.
+            n_frames = max(last, self._frozen_upto)
         return self._aggregate(int(n_frames), smooth)
 
     # -------------------------------------------------------------- stats

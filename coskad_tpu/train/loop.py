@@ -67,6 +67,7 @@ def model_kwargs_from_config(cfg: Config) -> dict:
         dropout=cfg.model.dropout,
         distribution=cfg.model.distribution,
         decoder_channels=cfg.model.decoder_channels,
+        kappa_floor=cfg.model.kappa_floor,
     )
 
 

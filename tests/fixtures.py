@@ -179,6 +179,67 @@ def make_adversarial_dataset(
     return cfg_path
 
 
+def make_ubnormal_tree(
+    root: str,
+    n_train_clips: int = 250,
+    n_test_clips: int = 60,
+    n_val_clips: int = 30,
+    n_frames: int = 500,
+    n_joints: int = 17,
+    n_scenes: int = 10,
+    seed: int = 11,
+) -> str:
+    """Full UBnormal-LAYOUT synthetic tree at configurable scale — the
+    stand-in for the downloaded dataset in the dress-rehearsal runbook
+    (scripts/dress_rehearsal.py). Unlike make_synthetic_dataset (flat
+    gt/ + config), this produces exactly the documented expected tree
+    (README 'Datasets & real-data runbook'; scripts/prepare_data.py:10-16):
+
+        <root>/pose/{training,testing,validating}/<scene>_<clip>*.json
+        <root>/testing/test_frame_mask/<scene>_<clip>.npy
+        <root>/validating/test_frame_mask/...
+        <root>/hr_bool_masks/testing/test_frame_mask/<scene>_<clip>.npy
+
+    Returns root. No config is written — that is prepare_data.py's job.
+    """
+    rng = np.random.default_rng(seed)
+    dirs = {
+        "train": os.path.join(root, "pose", "training"),
+        "test": os.path.join(root, "pose", "testing"),
+        "val": os.path.join(root, "pose", "validating"),
+        "gt": os.path.join(root, "testing", "test_frame_mask"),
+        "vgt": os.path.join(root, "validating", "test_frame_mask"),
+        "hr": os.path.join(root, "hr_bool_masks", "testing",
+                           "test_frame_mask"),
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    def clip_name(scene, clip):
+        return f"{scene:02d}_{clip:04d}_alphapose_tracked_person.json"
+
+    for i in range(n_train_clips):
+        scene, clip = i % n_scenes + 1, i // n_scenes + 1
+        c, _ = _make_clip(rng, n_frames, n_joints)
+        with open(os.path.join(dirs["train"], clip_name(scene, clip)), "w") as f:
+            json.dump(c, f)
+    for split, n_clips, pose_d, gt_d in (
+        ("test", n_test_clips, dirs["test"], dirs["gt"]),
+        ("val", n_val_clips, dirs["val"], dirs["vgt"]),
+    ):
+        for i in range(n_clips):
+            scene, clip = i % n_scenes + 1, 500 + i // n_scenes + 1
+            span = (n_frames // 3, n_frames // 3 + 80)
+            c, gt = _make_clip(rng, n_frames, n_joints, anomaly_span=span)
+            with open(os.path.join(pose_d, clip_name(scene, clip)), "w") as f:
+                json.dump(c, f)
+            np.save(os.path.join(gt_d, f"{scene:02d}_{clip:04d}.npy"), gt)
+            if split == "test":
+                np.save(os.path.join(dirs["hr"], f"{scene}_{clip}.npy"),
+                        np.ones(n_frames, dtype=np.uint8))
+    return root
+
+
 def make_synthetic_dataset(
     root: str,
     n_train_clips: int = 2,

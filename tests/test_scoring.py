@@ -399,3 +399,20 @@ def test_builtin_avenue_mask_length_mismatch_clear_error():
             aggregate.ScoringConfig(num_transform=1),
             avenue_clip_masks=AVENUE_MASKED_CLIPS,
         )
+
+
+def test_smoothing_handles_empty_and_short_inputs():
+    """gaussian_filter1d/score_process on zero-length and shorter-than-
+    radius vectors: scipy-equal, and no infinite reflect-pad loop (the
+    empty case previously never returned; round-5 soak finding)."""
+    import scipy.ndimage as ndi
+
+    from coskad_tpu.score.smoothing import gaussian_filter1d, score_process
+
+    assert gaussian_filter1d(np.zeros(0), 30.0).shape == (0,)
+    assert score_process(np.zeros(0)).shape == (0,)
+    for n in (1, 2, 5, 40):
+        x = np.sin(np.arange(n)).astype(np.float64)
+        np.testing.assert_allclose(
+            gaussian_filter1d(x, 30.0), ndi.gaussian_filter1d(x, 30.0),
+            rtol=1e-12, atol=1e-15)

