@@ -132,6 +132,15 @@ class OptConfig:
     plateau_factor: float = 0.2
     plateau_patience: int = 100
     min_lr: float = 1e-6
+    # VAE stabilizer (OFF by default = reference ELBO,
+    # spherical_vae.py:81-107): weight of an extra contraction term pulling
+    # the posterior MEAN toward the scoring anchor mean_vector —
+    # w * E[1 - cos(mu(x), mean_vector)]. The cosine score presumes normal
+    # latents concentrate around the anchor; nothing in the reference loss
+    # makes them, and the measured result is epoch-scale sign-flipping of
+    # the separation (final-epoch AUC 0.2<->0.97 across seeds in BOTH
+    # frameworks). Evidence: RESULTS.md round-5 "VAE stabilization".
+    vae_contraction: float = 0.0
     # Mahalanobis inverse-covariance shrinkage (OFF by default = reference
     # semantics, euclidean_encoder_staticCenter.py:133-148 inverts the raw
     # sample covariance). The latent covariance is ill-conditioned
@@ -151,6 +160,13 @@ class EvalConfig:
     use_hr: bool = False
     hr_masks_glob: str = ""
     load_ckpt: str = ""
+    # VAE scoring path: True (default) draws one PowerSpherical sample per
+    # window like the reference (spherical_vae.py forward at predict);
+    # False scores the deterministic posterior MEAN — the third opt-in
+    # stabilizer: at the measured kappa ~ 2 on S^15 a single draw is
+    # near-uniform and the per-epoch validation AUC is sampling-noise
+    # dominated (RESULTS.md round-5 "VAE stabilization").
+    vae_sample: bool = True
 
 
 @dataclass
@@ -316,6 +332,7 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         lr_decay=get("opt_lr_decay", 0.99),
         center_tolerance=get("center_tolerance", 0.001),
         cov_shrinkage=get("cov_shrinkage", 0.0),
+        vae_contraction=get("vae_contraction", 0.0),
         contrastive_weight=get("contrastive_weight",
                                0.1 if get("dataset_double_item", False) else 0.0),
         validation=get("validation", False),
@@ -336,6 +353,7 @@ def from_reference_dict(raw: Dict[str, Any]) -> Config:
         use_hr=get("use_hr", False),
         hr_masks_glob=hr_glob,
         load_ckpt=get("load_ckpt", ""),
+        vae_sample=bool(get("vae_sample", True)),
     )
     run = RunConfig(
         seed=get("seed", 999),

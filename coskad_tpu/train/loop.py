@@ -172,12 +172,16 @@ class Trainer:
         self._score_many = jax.jit(
             self._score_many_impl, static_argnames=("window_shape",))
         self._epochs_done = 0
-        # Testing/diagnostics hook: False routes the VAE through its
-        # deterministic mean path (sample=False) instead of rsample —
-        # used by the torch-lockstep parity harness, where the two
-        # frameworks' RNG streams cannot be aligned. Default True matches
-        # the reference (spherical_vae trains AND scores sampled latents).
+        # False routes the VAE through its deterministic mean path
+        # (sample=False) instead of rsample in BOTH train and eval — the
+        # torch-lockstep parity harness uses it (RNG streams cannot be
+        # aligned). Default True matches the reference (spherical_vae
+        # trains AND scores sampled latents). Separately,
+        # cfg.eval.vae_sample=False flips only the EVAL forwards to the
+        # posterior mean (the opt-in scoring stabilizer, RESULTS.md
+        # round-5 "VAE stabilization"); training keeps sampling.
         self.vae_sample = True
+        self._vae_sample_eval = cfg.eval.vae_sample
         # Plateau-scheduler state must survive the CLI's per-epoch
         # fit(state, epochs=1) calls, like the shuffle stream above.
         self._best_auc = -np.inf
@@ -341,7 +345,8 @@ class Trainer:
         base = rng if rng is not None else jax.random.PRNGKey(0)
         if self.cfg.model.use_vae:
             rngs["sample"] = base
-            kwargs["sample"] = self.vae_sample
+            kwargs["sample"] = self.vae_sample and (
+                train or self._vae_sample_eval)
             if vae_draws is not None:  # lockstep-parity hook (see stse.py)
                 kwargs["sample_draws"] = vae_draws
         if train and self.cfg.model.dropout > 0:
@@ -403,7 +408,8 @@ class Trainer:
                 frozen_bn=frozen_bn, vae_draws=vae_draws,
             )
             loss, metrics = objectives.compute_loss(
-                self.cfg, out, batch, params, state.center, state.inv_cov
+                self.cfg, out, batch, params, state.center, state.inv_cov,
+                mean_vector=state.mean_vector,
             )
             z = objectives.latent_of(self.cfg.model.variant, out)
             if self.cfg.opt.contrastive_weight > 0:
@@ -425,6 +431,11 @@ class Trainer:
                 loss = loss + self.cfg.opt.contrastive_weight * l_con
                 metrics["contrastive_loss"] = l_con
                 metrics["loss"] = loss
+            if self.cfg.model.use_vae and not self._vae_sample_eval:
+                # Mean-scoring mode: the accumulated anchor must be the
+                # posterior means it will score against (see the NOTE at
+                # accumulate_stats below).
+                z = out[2][0]
             return loss, (metrics, new_bs, z)
 
         (loss, (metrics, new_bs, z)), grads = jax.value_and_grad(
@@ -440,6 +451,13 @@ class Trainer:
             z,
             state.center,
         )
+        # NOTE on the VAE anchor: with eval.vae_sample=False the scoring
+        # anchor must match what is scored — the POSTERIOR MEANS — so the
+        # mean_vector accumulator uses them too (loss_fn returns z = mu in
+        # that mode via latent_for_stats below); measured: a sampled-latent
+        # anchor at kappa ~ 2 is 60-90% noise-cancelled (|mean_vector|
+        # 0.08-0.4 on unit samples) and its direction jitters 12-24
+        # deg/epoch (RESULTS.md round-5 "VAE stabilization").
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,

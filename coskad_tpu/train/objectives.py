@@ -45,11 +45,14 @@ def compute_loss(
     params,
     center: jax.Array,
     inv_cov: jax.Array,
+    mean_vector: jax.Array = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Loss + scalar metrics for one batch.
 
     `variant_outputs` is the model forward result: z (STSE), (z, recon)
-    (STSAE), or (z, recon, (z_mean, z_var)) (STSVAE).
+    (STSAE), or (z, recon, (z_mean, z_var)) (STSVAE). `mean_vector` is the
+    VAE's scoring anchor (previous epoch's latent mean), used only by the
+    opt-in `opt.vae_contraction` term.
     """
     variant = cfg.model.variant
     opt = cfg.opt
@@ -87,6 +90,26 @@ def compute_loss(
         metrics.update(
             reconstruction_loss=l_rec, kl_loss=l_kl, exp_dist_loss=l_exp
         )
+        if opt.vae_contraction > 0 and mean_vector is not None:
+            # Opt-in stabilizer (OFF by default = reference semantics,
+            # spherical_vae.py:81-107): contract the POSTERIOR MEAN toward
+            # the scoring anchor, the Deep-SVDD-style term every other
+            # variant has and the VAE uniquely lacks — its cosine score
+            # presumes normal latents concentrate around mean_vector, but
+            # nothing in the reference ELBO makes them (diagnosed
+            # structural sign-flipping, RESULTS.md round-5 "VAE
+            # stabilization"). Gated on |mean_vector| > 0 so epoch 0
+            # (anchor not yet computed) is unaffected.
+            mv_norm = jnp.linalg.norm(mean_vector)
+            mv_dir = mean_vector / (mv_norm + 1e-12)
+            zdir = z_mean
+            if cfg.model.distribution != "ps":  # 'ps' means are unit already
+                zdir = z_mean / (
+                    jnp.linalg.norm(z_mean, axis=-1, keepdims=True) + 1e-12)
+            l_con = jnp.mean(1.0 - jnp.sum(zdir * mv_dir, axis=-1))
+            gate = (mv_norm > 1e-6).astype(loss.dtype)
+            loss = loss + opt.vae_contraction * gate * l_con
+            metrics["vae_contraction_loss"] = l_con
 
     elif variant == "hyperbolic":
         z = variant_outputs

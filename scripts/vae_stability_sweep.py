@@ -62,14 +62,18 @@ def make_vae_config(root, stabilizer):
     d.update(use_vae=True, use_decoder=False, distribution="ps")
     for item in stabilizer:
         k, v = item.split("=")
-        d[{"kappa_floor": "kappa_floor", "kl_warmup": "kl_warmup_epochs"}[k]] \
-            = float(v) if k == "kappa_floor" else int(v)
+        key = {"kappa_floor": "kappa_floor", "kl_warmup": "kl_warmup_epochs",
+               "beta": "beta", "gamma": "gamma",
+               "vae_contraction": "vae_contraction",
+               "eval_sample": "vae_sample"}[k]
+        d[key] = (int(v) if k == "kl_warmup"
+                  else bool(int(v)) if k == "eval_sample" else float(v))
     with open(cfg_path, "w") as f:
         yaml.safe_dump(d, f)
     return cfg_path
 
 
-def run_seed(cfg_path, run_seed, epochs):
+def run_seed(cfg_path, run_seed, epochs, score_mean=False):
     import dataclasses
 
     from coskad_tpu.cli.common import load_config, load_ground_truths, load_split
@@ -82,6 +86,10 @@ def run_seed(cfg_path, run_seed, epochs):
     gts = load_ground_truths(cfg.data.gt_dir)
     cap = _Capture()
     trainer = Trainer(cfg, train_ds, val_ds, gts, logger=cap)
+    if score_mean:
+        # Diagnostic: deterministic mean-path eval (sample=False) isolates
+        # PowerSpherical sampling noise from structural instability.
+        trainer.vae_sample = False
     state = trainer.init_state(seed=run_seed)
     state = trainer.initialize_center(state)
 
@@ -129,13 +137,15 @@ def main():
     ap.add_argument("--stabilizer", nargs="*", default=[],
                     help="e.g. kappa_floor=8 or kl_warmup=10")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--score-mean", action="store_true",
+                    help="diagnostic: eval on the deterministic mean path")
     args = ap.parse_args()
 
     root = tempfile.mkdtemp(prefix="coskad_vae_sweep_")
     cfg_path = make_vae_config(root, args.stabilizer)
     results = {}
     for seed in range(args.seeds):
-        rec = run_seed(cfg_path, seed, args.epochs)
+        rec = run_seed(cfg_path, seed, args.epochs, args.score_mean)
         results[seed] = rec
         best = np.nanmax(rec["auc"])
         final = rec["auc"][-1]
@@ -149,6 +159,7 @@ def main():
     finals = [r["auc"][-1] for r in results.values()]
     summary = {
         "stabilizer": args.stabilizer or "none",
+        "score_mean": args.score_mean,
         "epochs": args.epochs,
         "best_auc_mean": float(np.mean(bests)),
         "best_auc_min": float(np.min(bests)),

@@ -399,3 +399,72 @@ def test_cov_shrinkage_tames_mahalanobis_noise_amplification():
     # Planted outliers still dominate the ranking (boundary windows whose
     # frames only graze the anomalous span are legitimate near-ties).
     assert len(tops[0.0] & tops[0.5]) >= 14
+
+
+def test_vae_stabilizer_knobs():
+    """The three opt-in VAE stabilizers (RESULTS.md round-5 'VAE
+    stabilization'), each OFF by default = reference semantics:
+    - model.kappa_floor: z_var = softplus + floor (reference hardcodes +1);
+    - opt.vae_contraction: posterior-mean contraction toward mean_vector,
+      gated on the anchor existing (inert at epoch 1);
+    - eval.vae_sample=False: deterministic posterior-mean scoring, with the
+      mean_vector accumulator switched to posterior means to match
+      (training keeps sampling)."""
+    import dataclasses
+
+    from helpers import synthetic_segments, tiny_config
+
+    ds, _ = synthetic_segments(n_frames=60, num_transform=1)
+
+    # kappa_floor reaches the model head
+    cfg = tiny_config("vae")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, kappa_floor=8.0))
+    tr = Trainer(cfg, ds)
+    state = tr.init_state()
+    _, z_var = tr.model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(ds.data[:4, :2]), train=False,
+        method="encode_distribution")
+    assert float(jnp.min(z_var)) >= 8.0
+
+    # vae_contraction: gated off at epoch 1 (mean_vector still zero), live
+    # from epoch 2; enabling it changes the trained parameters.
+    def run(weight):
+        cfg = tiny_config("vae", vae_contraction=weight)
+        tr = Trainer(cfg, ds)
+        state = tr.init_state()
+        state = tr.initialize_center(state)
+        state, hist = tr.fit(state=state, epochs=3)
+        return state, hist
+
+    s0, _ = run(0.0)
+    s1, _ = run(2.0)
+    p0 = jax.flatten_util.ravel_pytree(s0.params)[0]
+    p1 = jax.flatten_util.ravel_pytree(s1.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+    # eval.vae_sample=False: eval-mode embeddings are deterministic and the
+    # anchor is unit-norm-scale (posterior means), not noise-cancelled.
+    cfg = tiny_config("vae")
+    cfg = dataclasses.replace(
+        cfg, eval=dataclasses.replace(cfg.eval, vae_sample=False))
+    tr = Trainer(cfg, ds)
+    state = tr.init_state()
+    state = tr.initialize_center(state)
+    z_a = tr.embed_all(state, ds, tr.train_data)
+    z_b = tr.embed_all(state, ds, tr.train_data)
+    np.testing.assert_allclose(z_a, z_b, rtol=0, atol=0)  # no draw in eval
+    state, _ = tr.fit(state=state, epochs=2)
+    mv = np.asarray(state.mean_vector)
+    assert np.linalg.norm(mv) > 0.5  # means align; a sampled anchor at
+    # kappa~2 on S^3..S^15 cancels to 0.1-0.4 (measured, RESULTS.md)
+
+    # default sampled eval really samples (different draws differ)
+    cfg_s = tiny_config("vae")
+    tr_s = Trainer(cfg_s, ds)
+    st = tr_s.init_state()
+    z1 = tr_s.embed_all(st, ds, tr_s.train_data)
+    st2 = st.replace(rng=jax.random.PRNGKey(123))
+    z2 = tr_s.embed_all(st2, ds, tr_s.train_data)
+    assert not np.allclose(z1, z2)
