@@ -65,7 +65,10 @@ def main():
     ap.add_argument("--val-clips", type=int, default=30)
     ap.add_argument("--frames", type=int, default=500)
     args = ap.parse_args()
-    env = dict(os.environ, PYTHONPATH=REPO, COSKAD_NATIVE="1")
+    # EXTEND PYTHONPATH (the TPU plugin may be injected via it; replacing
+    # it would silently knock the accelerator out of the children).
+    env = dict(os.environ, COSKAD_NATIVE="1",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     stages = {}
 
     # 1. dataset stand-in (≈ the user's download/untar step)
@@ -134,7 +137,10 @@ def main():
             except Exception:
                 time.sleep(1)
         rng = np.random.default_rng(0)
-        w = rng.normal(size=(64, 2, 12, 17)).astype(np.float32)
+        meta = json.loads(__import__("zipfile").ZipFile(artifact).read("meta.json"))
+        shape = (64, meta["in_channels"], meta.get("seg_len", 12),
+                 meta.get("n_joints", 17))
+        w = rng.normal(size=shape).astype(np.float32)
         buf = io.BytesIO()
         np.save(buf, w)
         req = urllib.request.Request(

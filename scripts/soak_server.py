@@ -152,7 +152,8 @@ def main():
     ap.add_argument("--rss-slack-mb", type=float, default=150.0)
     args = ap.parse_args()
 
-    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": args.platform}
+    env = {**os.environ, "JAX_PLATFORMS": args.platform,
+           "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
     ckpt = args.ckpt
     workdir = None
     if ckpt is None:
