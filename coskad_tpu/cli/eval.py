@@ -56,6 +56,14 @@ def main(argv=None):
     from ..train.loop import Trainer
     from .common import load_config, load_ground_truths, load_split
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _phase = {"start": _t0}
+
+    def _mark(name):
+        _phase[name] = _time.perf_counter()
+
     cfg = load_config(args.config)
     # precedence: --ckpt flag > the reference's load_ckpt config key >
     # best.ckpt > last.ckpt (reference eval_COSKAD.py:112 joins
@@ -76,15 +84,18 @@ def main(argv=None):
     test_ds = load_split(cfg, "test", stride=1, scaler=scaler)
     gts = load_ground_truths(cfg.data.gt_dir)
     print(f"[coskad] test windows: {test_ds.num_windows}, clips: {len(gts)}")
+    _mark("ingest")  # JSON parse + window/normalize (host)
 
     trainer = Trainer(cfg, test_ds)  # reuses embed/score jit machinery
     state = trainer.init_state()
     state, _, extra = checkpoint.restore(ckpt_path, state, payload=payload)
     state = trainer.attach_state(state)
     print(f"[coskad] restored {ckpt_path} {extra}")
+    _mark("upload")  # device upload + state restore (+model init compile)
 
     # One scanned device dispatch for the whole embed+score pass.
     scores, rec = trainer.score_all(state, test_ds, trainer.train_data)
+    _mark("scoring")  # compile + scanned scoring + host fetch
     if cfg.model.variant == "autoencoder" and args.rec_weight != 0:
         from ..score.window_losses import mode_from_rec_weight
 
@@ -141,6 +152,15 @@ def main(argv=None):
             print(f"best threshold (transform {t + 1}): {thr}")
         plot_roc(result.gt, result.scores,
                  os.path.join(args.save_roc, "final_roc.png"))
+    _mark("aggregate")  # host aggregation + AUC + prints
+    keys = ["ingest", "upload", "scoring", "aggregate"]
+    deltas = {
+        k: _phase[k] - _phase[prev]
+        for k, prev in zip(keys, ["start"] + keys[:-1]) if k in _phase
+    }
+    print("[coskad] eval wall breakdown: "
+          + " ".join(f"{k}={v:.2f}s" for k, v in deltas.items())
+          + f" total={_time.perf_counter() - _t0:.2f}s")
     print(f"final AUC score: {result.auc:.6f}")
     distributed_barrier("coskad_eval_done")
     return result

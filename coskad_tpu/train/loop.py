@@ -284,10 +284,17 @@ class Trainer:
         rngs = {"params": init_rng}
         if self.cfg.model.use_vae:
             rngs["sample"] = sample_rng
-        variables = self.model.init(rngs, dummy)
+        # One compiled program, not eager per-op execution: eager init
+        # through the remote-TPU tunnel paid ~hundreds of 15-77 ms
+        # dispatches — 5.5 s of the offline-eval wall on the production
+        # config (round-5 eval profile, RESULTS.md). Identical values (PRNG
+        # semantics are jit-invariant); the compile persists in the cache.
+        variables = jax.jit(self.model.init)(rngs, dummy)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = self.tx.init(params)
+        # jit for the same reason as init: optax.flatten's eager ravel was
+        # another ~2.3 s of tunnel dispatches on the eval wall.
+        opt_state = jax.jit(self.tx.init)(params)
         state = init_state(
             params, batch_stats, opt_state, self.cfg.model.latent_dim, rng
         )
