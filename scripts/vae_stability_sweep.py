@@ -47,6 +47,7 @@ class _Capture(MetricLogger):
 
     def __init__(self):
         super().__init__()
+        self.every_n_steps = 1  # capture every step (fit gates on this)
         self.rows = []
 
     def log(self, metrics, step, force=False):
