@@ -1,7 +1,8 @@
 """Diagnose the spherical VAE's late-epoch AUC collapse + A/B a stabilizer.
 
     python scripts/vae_stability_sweep.py [--seeds 5] [--epochs 30]
-        [--stabilizer none|kappa_floor=K|kl_warmup=N] [--out sweep.json]
+        [--stabilizer kappa_floor=K vae_contraction=W eval_sample=0
+         beta=B gamma=G] [--out sweep.json]
 
 Both the reference and this framework reproduce the pathology (RESULTS.md
 "VAE AUC instability", round 2/4): best-epoch AUC is fine, but the FINAL
@@ -63,12 +64,12 @@ def make_vae_config(root, stabilizer):
     d.update(use_vae=True, use_decoder=False, distribution="ps")
     for item in stabilizer:
         k, v = item.split("=")
-        key = {"kappa_floor": "kappa_floor", "kl_warmup": "kl_warmup_epochs",
-               "beta": "beta", "gamma": "gamma",
-               "vae_contraction": "vae_contraction",
+        # (kl_warmup was considered per VERDICT r4 #3 and rejected: the
+        # beta=0 probe shows the KL term is inert on this pathology.)
+        key = {"kappa_floor": "kappa_floor", "beta": "beta",
+               "gamma": "gamma", "vae_contraction": "vae_contraction",
                "eval_sample": "vae_sample"}[k]
-        d[key] = (int(v) if k == "kl_warmup"
-                  else bool(int(v)) if k == "eval_sample" else float(v))
+        d[key] = bool(int(v)) if k == "eval_sample" else float(v)
     with open(cfg_path, "w") as f:
         yaml.safe_dump(d, f)
     return cfg_path
@@ -136,7 +137,7 @@ def main():
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--stabilizer", nargs="*", default=[],
-                    help="e.g. kappa_floor=8 or kl_warmup=10")
+                    help="e.g. kappa_floor=32 vae_contraction=3 eval_sample=0")
     ap.add_argument("--out", default=None)
     ap.add_argument("--score-mean", action="store_true",
                     help="diagnostic: eval on the deterministic mean path")
