@@ -324,3 +324,135 @@ def test_fuzz_malformed_json_rejected_by_both_parsers(tmp_path, seed):
     if kind in (0, 2, 3):
         # These corruptions are never valid clips; both must have rejected.
         assert not py_ok, msg
+
+
+# ---------------------------------------------------- Morais trajectory side
+
+
+def _reference_data_mod():
+    if not os.path.isdir(REFERENCE):
+        pytest.skip("reference checkout not available")
+    if not hasattr(np, "int"):
+        np.int = int  # noqa: NPY001
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import utils.data as ref_data
+    import utils.preprocessing as ref_prep
+
+    return ref_data, ref_prep
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_trajectory_toolkit_matches_reference(seed):
+    """Randomized Morais trajectories (short/ragged lengths, zeroed joints,
+    fully-missing step blocks incl. at the edges, extreme magnitudes)
+    through bbox computation, both coordinate systems, missing-step
+    interpolation, the three scalers and hop-window aggregation vs the
+    reference's own utils/data.py + utils/preprocessing.py."""
+    from coskad_tpu.data import trajectories as tj
+
+    ref_data, ref_prep = _reference_data_mod()
+    rng = np.random.default_rng(991_000 + seed)
+    res = np.array([float(rng.integers(200, 2000)),
+                    float(rng.integers(200, 2000))], np.float32)
+    v = 17
+    n = int(rng.integers(3, 120))
+    scale = 10.0 ** rng.uniform(0, 3.5)
+    coords = rng.uniform(0, scale, size=(n, 2 * v)).astype(np.float32)
+    coords[rng.random(coords.shape) < 0.08] = 0.0  # missing joints
+    # fully-missing step blocks, possibly touching the edges
+    for _ in range(int(rng.integers(0, 3))):
+        b0 = int(rng.integers(0, n))
+        coords[b0: b0 + int(rng.integers(1, 4))] = 0.0
+    f0 = int(rng.integers(0, 9))
+    frames = np.arange(f0, f0 + n)
+    msg = f"seed={991_000 + seed} n={n} res={res.tolist()}"
+
+    # bounding boxes per step
+    for i in range(0, n, max(n // 5, 1)):
+        assert (tj.compute_bounding_box(coords[i], res)
+                == ref_data.compute_bounding_box(coords[i], res)), msg
+
+    # coordinate systems
+    ref_tr = ref_data.Trajectory("1-1_0001", frames.copy(), coords.copy())
+    ref_tr.change_coordinate_system(res, coordinate_system="bounding_box_centre")
+    ours = tj.Trajectory("1-1_0001", frames.copy(), coords.copy())
+    ours.to_bounding_box_centre(res)
+    np.testing.assert_allclose(ours.coordinates, ref_tr.coordinates,
+                               rtol=1e-5, atol=1e-6, err_msg=msg)
+    ref_tr2 = ref_data.Trajectory("1-1_0001", frames.copy(), coords.copy())
+    ref_tr2.use_global_features(res)
+    ours2 = tj.Trajectory("1-1_0001", frames.copy(), coords.copy())
+    np.testing.assert_allclose(ours2.global_features(res), ref_tr2.coordinates,
+                               rtol=1e-5, atol=1e-6, err_msg=msg)
+
+    # missing-step interpolation
+    ref_tr3 = ref_data.Trajectory("1-1_0001", frames.copy(), coords.copy())
+    ours3 = tj.Trajectory("1-1_0001", frames.copy(), coords.copy())
+    ours3.input_missing_steps()
+    try:
+        ref_tr3.input_missing_steps()
+    except IndexError:
+        # The reference's scan walks past the end when the trajectory ENDS
+        # with fully-missing steps (utils/data.py while-loop); ours leaves
+        # such un-interpolatable steps as-is and must not crash.
+        assert np.isfinite(ours3.coordinates).all(), msg
+        assert ours3.coordinates.shape == coords.shape, msg
+    else:
+        np.testing.assert_allclose(ours3.coordinates, ref_tr3.coordinates,
+                                   rtol=1e-6, atol=1e-9, err_msg=msg)
+
+    # scalers (0 -> NaN masking inside)
+    flat = coords.reshape(-1, 2)
+    for strategy in ("zero_one", "three_stds", "robust"):
+        if strategy == "robust" and len(flat) < 4:
+            continue
+        ref_out, ref_sc = ref_data.scale_trajectories(
+            flat.copy(), strategy=strategy)
+        ours_out, ours_sc = tj.scale_trajectories(
+            flat.copy(), strategy=strategy)
+        # float32 inputs: sklearn/our op orders differ at f32 rounding
+        np.testing.assert_allclose(ours_out, ref_out, rtol=2e-5, atol=1e-6,
+                                   err_msg=f"{msg} {strategy}",
+                                   equal_nan=True)
+
+    # hop-window aggregation at random length/gap (only when windows fit)
+    wlen = int(rng.integers(4, 16))
+    gap = int(rng.integers(0, 3))
+    span = wlen + (wlen - 1) * gap
+    if n >= span:
+        key = "1-2_0007"
+        ref_trs = {key: ref_data.Trajectory(key, frames.copy(), coords.copy())}
+        try:
+            ref_x, _, (ref_meta, ref_ids), _ = \
+                ref_prep.aggregate_rnn_autoencoder_data(
+                    ref_trs, input_length=wlen, input_gap=gap, pred_length=0,
+                    return_ids=True)
+        except IndexError:
+            # The reference's own id bookkeeping (preprocessing.py 'added'
+            # lines) indexes frames past the trajectory for some
+            # (length, gap) combos; its production path only ever runs
+            # gap=0. Assert OUR output stays in-bounds instead.
+            ref_x = None
+        ours_trs = {key: tj.Trajectory(key, frames.copy(), coords.copy())}
+        ours_x, ours_meta, ours_ids = tj.aggregate_windows(ours_trs, wlen, gap)
+        if ref_x is not None:
+            np.testing.assert_allclose(ours_x, ref_x, err_msg=msg)
+            assert ours_meta == ref_meta, msg
+            np.testing.assert_allclose(np.asarray(ours_ids),
+                                       np.asarray(ref_ids), err_msg=msg)
+        else:
+            ids = np.asarray(ours_ids)
+            if ids.size:
+                assert ids.min() >= frames.min() and ids.max() <= frames.max(), msg
+
+    # short-trajectory filter agrees
+    thr = int(rng.integers(2, 30))
+    ref_kept = set(ref_prep.remove_short_trajectories(
+        {str(i): ref_data.Trajectory(f"1-1_{i:04d}", frames.copy(),
+                                     coords.copy())
+         for i in range(2)}, input_length=thr, input_gap=0, pred_length=0))
+    ours_kept = set(tj.remove_short_trajectories(
+        {str(i): tj.Trajectory(f"1-1_{i:04d}", frames.copy(), coords.copy())
+         for i in range(2)}, input_length=thr, input_gap=0))
+    assert ref_kept == ours_kept, msg
