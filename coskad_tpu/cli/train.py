@@ -116,6 +116,11 @@ def main(argv=None):
     crash_rank = os.environ.get("COSKAD_CRASH_RANK", "")
     injectable = crash_rank in ("", str(jax.process_index()))
 
+    # Checked BEFORE any rank writes (startup is the only race-free moment
+    # to consult the shared filesystem): does a best.ckpt from a previous
+    # attempt exist to rotate into best2 on the next improvement?
+    have_best_ckpt = os.path.exists(os.path.join(ckpt_dir, "best.ckpt"))
+
     epochs = args.epochs if args.epochs is not None else cfg.opt.epochs
     for epoch in range(start_epoch, epochs):
         state, history = trainer.fit(state=state, epochs=1)
@@ -130,12 +135,16 @@ def main(argv=None):
             os._exit(23)
         auc = history["validation_auc"][-1] if history["validation_auc"] else None
         # The best/best2 bookkeeping runs on every rank (auc is identical
-        # everywhere — scores are allgathered), but only rank 0 touches disk.
+        # everywhere — scores are allgathered), but only rank 0 touches
+        # disk. `have_best_ckpt` tracks rotation eligibility in host state
+        # (seeded from a pre-write exists() at startup) so best2_auc only
+        # advances together with an actual on-disk rotation and every rank
+        # agrees without racing rank 0's writes (round-5 review finding).
         best_path = os.path.join(ckpt_dir, "best.ckpt")
         if auc is not None and auc > best_auc:
-            if primary and best_auc > -1.0 and os.path.exists(best_path):
-                os.replace(best_path, os.path.join(ckpt_dir, "best2.ckpt"))
-            if best_auc > -1.0:
+            if best_auc > -1.0 and have_best_ckpt:
+                if primary:
+                    os.replace(best_path, os.path.join(ckpt_dir, "best2.ckpt"))
                 best2_auc = best_auc
             best_auc = auc
             if primary:
@@ -143,6 +152,7 @@ def main(argv=None):
                     best_path, state, cfg,
                     scaler=train_ds.scaler, extra={"epoch": epoch, "auc": auc},
                 )
+            have_best_ckpt = True
         elif auc is not None and auc > best2_auc:
             best2_auc = auc
             if primary:

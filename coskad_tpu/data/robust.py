@@ -29,9 +29,21 @@ from .windows import SegmentDataset, keypoints17_to_coco18
 
 
 def save_scaler(scaler, path: str) -> None:
+    """Persist a fitted scaler like the reference
+    (utils/get_robust_data.py:83-98) — atomically, and from rank 0 only in
+    multi-host runs: every rank fits the identical scaler from the
+    identical data, and concurrent non-atomic writes to the shared
+    exp_dir pickle could leave a truncated file (round-5 review; same
+    gating as the AlphaPose robust.pkl in cli/common.py)."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(scaler, f)
+    os.replace(tmp, path)
 
 
 def load_scaler(path: str):

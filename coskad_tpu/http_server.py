@@ -294,10 +294,17 @@ class _Handler(BaseHTTPRequestHandler):
         # the unread bytes would be parsed as the NEXT request line on the
         # persistent connection, corrupting every later request — so close
         # the connection instead of leaving the stream misaligned.
-        self._body_consumed = int(self.headers.get("Content-Length") or 0) == 0
+        cl = self.headers.get("Content-Length") or "0"
+        try:
+            pending = int(cl)
+        except ValueError:
+            pending = -1  # non-numeric header: 400 below, connection closed
+        self._body_consumed = pending == 0
         try:
             with svc.count_lock:
                 svc.n_requests += 1
+            if pending < 0:
+                raise ValueError(f"invalid Content-Length {cl!r}")
             self._route(method, parts, qs, svc)
         except Unsupported as e:
             self._send(501, {"error": str(e)})

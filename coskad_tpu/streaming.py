@@ -270,23 +270,36 @@ class StreamingScorer:
         """Advance the watermark: freeze the aggregated scores of frames
         older than the horizon, then free the window scores and person
         streams that can no longer contribute to a live frame. Runs only
-        right after a full drain, so no pending window is skipped."""
+        right after a full drain, so no pending window is skipped.
+
+        The FREEZE boundary deliberately lags the LATE-DROP watermark by a
+        full window span (seg_len + 2, the max key span of a continuous
+        window): every window that survives the lateness check
+        (fk[-1] > watermark) then lies entirely in the live region, so a
+        delayed window (a person pausing while the stream head advances)
+        is either applied IN FULL or dropped IN FULL — never half-applied
+        against an already-frozen prefix, which would silently break the
+        exact-parity contract (round-5 review finding)."""
         watermark = self._max_key - self.horizon
-        if watermark <= self._frozen_upto:
+        freeze_to = watermark - (self.seg_len + 2)
+        if freeze_to <= self._frozen_upto:
             return
         full = self._clip_scores(self._max_key)
         self._frozen = np.concatenate(
-            [self._frozen, full[self._frozen_upto:watermark]])
-        self._frozen_upto = watermark
-        # A window whose last frame key is <= watermark covers only frozen
-        # indices (< watermark); frame key k scatters to index k-1.
+            [self._frozen, full[self._frozen_upto:freeze_to]])
+        self._frozen_upto = freeze_to
+        # A window whose last frame key is <= freeze_to covers only frozen
+        # indices (< freeze_to); frame key k scatters to index k-1. Any
+        # FUTURE window touching a frozen frame would have
+        # fk[-1] < watermark and be dropped as late, so frozen values are
+        # final.
         self._scores = {k: v for k, v in self._scores.items()
-                        if v[1][-1] > watermark}
-        # A person last seen >2 frames behind the watermark cannot bridge a
-        # continuous window into the live region (the <=2-missing rule);
-        # their unemitted tail windows would be late-dropped anyway.
+                        if v[1][-1] > freeze_to}
+        # A person last seen >2 frames behind the freeze boundary cannot
+        # bridge a continuous window into the live region (the <=2-missing
+        # rule); their unemitted tail windows would be late-dropped anyway.
         self._persons = {pid: p for pid, p in self._persons.items()
-                         if (p.last_key() or 0) >= watermark - 2}
+                         if (p.last_key() or 0) >= freeze_to - 2}
         self._version += 1
         self._agg_cache = None
 

@@ -28,7 +28,6 @@ import argparse
 import io
 import json
 import os
-import socket
 import subprocess
 import sys
 import time
@@ -120,9 +119,9 @@ def main():
         "--ckpt", ckpt, "--out", artifact], env)
 
     # 7. artifact serving smoke: start server, score one batch, compare live
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    from coskad_tpu.utils.net import free_port
+
+    port = free_port("127.0.0.1")
     t0 = time.perf_counter()
     server = subprocess.Popen(
         [sys.executable, "-u", "-m", "coskad_tpu.cli.server",

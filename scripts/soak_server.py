@@ -27,7 +27,6 @@ import argparse
 import io
 import json
 import os
-import socket
 import subprocess
 import sys
 import threading
@@ -38,12 +37,9 @@ import urllib.request
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+from coskad_tpu.utils.net import free_port as _free_port  # noqa: E402
 
 
 def _rss_mb(pid: int) -> float:
@@ -240,8 +236,12 @@ def main():
 
         lat = np.asarray(latencies)
         q = len(lat) // 4
-        p95_early = float(np.percentile(lat[:q], 95) * 1000)
-        p95_late = float(np.percentile(lat[-q:], 95) * 1000)
+        if q == 0:  # all scoring requests failed (or a tiny --requests):
+            # still emit the driver-parseable summary instead of crashing
+            p95_early = p95_late = float("nan")
+        else:
+            p95_early = float(np.percentile(lat[:q], 95) * 1000)
+            p95_late = float(np.percentile(lat[-q:], 95) * 1000)
         rss_end = rss_samples[-1] if rss_samples else rss0
         rss_peak = max(rss_samples) if rss_samples else rss0
         health = _call(base + "/healthz")
@@ -252,7 +252,8 @@ def main():
             "errors": len(errors),
             "wall_s": round(wall, 1),
             "rps": round((len(lat)) / wall, 1),
-            "p50_ms": round(float(np.percentile(lat, 50) * 1000), 2),
+            "p50_ms": (round(float(np.percentile(lat, 50) * 1000), 2)
+                       if len(lat) else float("nan")),
             "p95_early_ms": round(p95_early, 2),
             "p95_late_ms": round(p95_late, 2),
             "rss_baseline_mb": round(rss0, 1),
@@ -260,7 +261,7 @@ def main():
             "rss_peak_mb": round(rss_peak, 1),
             "n_requests_server": health["n_requests"],
             "live_streams_after": health["n_streams"],
-            "ok": (not errors
+            "ok": (not errors and q > 0
                    and rss_end - rss0 < args.rss_slack_mb
                    and p95_late < 2 * p95_early),
         }

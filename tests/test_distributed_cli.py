@@ -19,7 +19,6 @@ vs 2-process (identical collective layout), so it is leaf-for-leaf EXACT.
 
 import os
 import re
-import socket
 import subprocess
 import sys
 
@@ -28,13 +27,9 @@ import pytest
 
 from fixtures import make_synthetic_dataset
 
+from coskad_tpu.utils.net import free_port as _free_port
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
 
 
 def _env(devices: int, **extra):

@@ -251,3 +251,73 @@ def test_flush_empty_stream_returns_empty(tmp_path):
         # n_frames override still works on an empty stream
         out = StreamingScorer(scorer, **kwargs).flush(n_frames=7, smooth=True)
         assert out.shape == (7,) and (out == 0).all()
+
+
+def test_rolling_gc_delayed_person_windows_apply_in_full(tmp_path):
+    """A person absent for a stretch while the stream head advances emits
+    their pre-gap TAIL windows only once a later row arrives (the offline
+    final-window quirk). Those delayed windows can reach back a full
+    window span behind the late-drop watermark; the freeze boundary must
+    LAG the watermark by that span so they are applied IN FULL — the
+    naive boundary (freeze at the watermark itself) half-applies them
+    against the frozen prefix, silently losing their early frames'
+    contributions (round-5 review finding).
+
+    Deterministic stub scorer (score = encoded per-window identity, the
+    delayed person strictly dominant) so the loss cannot hide behind
+    model-score near-ties or the actor-max; contract: rolling-GC flush ==
+    session-scoped (unbounded) flush, exactly."""
+    import dataclasses
+    import types
+
+    from helpers import tiny_config
+
+    from coskad_tpu.streaming import StreamingScorer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, seg_len=12,
+                                      normalize_pose=False))
+
+    class StubScorer:
+        """Scores a window by its content: person id rides in the conf
+        channel, the start key in the x channel -> every window's score is
+        distinct and person B's always dominate the actor-max."""
+
+        def __init__(self):
+            self.cfg = cfg
+            self.scaler = None
+
+        def preprocess_windows(self, raw):
+            return raw
+
+        def score_windows(self, windows):
+            person = windows[:, 0, 0, 2]          # conf channel, frame 0
+            start_key = windows[:, 0, 0, 0]       # x channel, frame 0
+            return np.where(person > 1.5, 100.0 + start_key,
+                            1.0 + 0.001 * start_key)
+
+    def push_all(stream):
+        for f in range(1, 301):
+            poses = {}
+            kp_a = np.full((17, 3), 1.0)
+            kp_a[:, 0] = f
+            poses[1] = kp_a
+            if not (151 <= f <= 160):  # B absent 10 frames (> 2-missing)
+                kp_b = np.full((17, 3), 2.0)
+                kp_b[:, 0] = f
+                poses[2] = kp_b
+            stream.push(f, poses)
+        return stream
+
+    unbounded = push_all(StreamingScorer(StubScorer(), min_batch=1))
+    rolled = push_all(StreamingScorer(StubScorer(), min_batch=1, horizon=15))
+    assert rolled._frozen_upto > 200  # GC really ran hard
+    expected = unbounded.flush(n_frames=300, smooth=True)
+    got = rolled.flush(n_frames=300, smooth=True)
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-9)
+    # B's delayed tail windows (emitted at reappearance, spanning back
+    # behind the watermark) really existed: frames just before the gap
+    # carry B-range scores in BOTH modes.
+    raw = unbounded.flush(n_frames=300, smooth=False)
+    assert raw[145] > 100.0
