@@ -122,3 +122,18 @@ def test_pad_size_zeroes_absence_margins(tmp_path):
 
     assert r_pad.scores.shape == r_nopad.scores.shape
     assert not np.allclose(r_pad.scores, r_nopad.scores)
+
+
+def test_distributed_spec_parse_errors():
+    """--distributed SPEC validation: malformed specs fail fast with a
+    clear message instead of reaching jax.distributed with garbage."""
+    import pytest
+
+    from coskad_tpu.cli.common import init_distributed
+
+    init_distributed(None)  # no-op
+    init_distributed("")    # no-op
+    with pytest.raises(ValueError, match="coordinator:port"):
+        init_distributed("localhost:1234")  # missing N,rank
+    with pytest.raises(ValueError):
+        init_distributed("localhost:1234,two,0")  # non-integer N

@@ -146,3 +146,65 @@ def test_fused_train_knobs_parse_from_yaml(tmp_path):
                    open(p, "w"))
     cfg = from_reference_yaml(str(p))
     assert cfg.run.fused_train == "off" and cfg.run.ghost_size == 64
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_reference_config_loader(seed, tmp_path):
+    """Random subsets of known reference keys with in-domain random values
+    must load without crashing, and the 4-boolean variant dispatch must
+    follow the reference precedence (train_COSKAD.py:36-55) on every draw."""
+    import numpy as np
+    import yaml
+
+    from coskad_tpu.config import from_reference_yaml
+
+    rng = np.random.default_rng(983_000 + seed)
+    pool = {
+        "dataset_choice": ["UBnormal", "HR-Avenue", "HR-STC"],
+        "use_decoder": [True, False],
+        "use_vae": [True, False],
+        "hyperbolic": [True, False],
+        "static_center": [True, False],
+        "distance": ["euclidean", "mahalanobis"],
+        "projector": ["linear", "mlp"],
+        "encoder_type": ["sts_gcn", "st_gcn", "learnable_gcn", "static_gcn"],
+        "distribution": ["ps", "normal"],
+        "dataset_normalization_strategy":
+            ["markovitz", "robust", "stan", "bbox"],
+        "dataset_seg_len": [6, 12, 24],
+        "dataset_num_transform": [1, 2, 5],
+        "dataset_headless": [True, False],
+        "dataset_kp18_format": [True, False],
+        "channels": [[32, 16, 32], [8, 8], [16]],
+        "h_dim": [16, 64],
+        "latent_dim": [4, 16],
+        "ae_epochs": [1, 100],
+        "debug": [True, False],
+        "pad_size": [-1, 5],
+        "validation": [True, False],
+        "use_hr": [True, False],
+        "smoothing": [50],
+        "seed": [0, 999],
+    }
+    d = {}
+    for k, vals in pool.items():
+        if rng.random() < 0.7:
+            d[k] = vals[int(rng.integers(len(vals)))]
+    p = tmp_path / f"fuzz{seed}.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump(d, f)
+    cfg = from_reference_yaml(str(p))
+    # variant dispatch precedence (reference train_COSKAD.py:36-55)
+    if d.get("use_decoder"):
+        assert cfg.model.variant == "autoencoder", d
+    elif d.get("use_vae"):
+        assert cfg.model.variant == "vae", d
+    elif d.get("hyperbolic"):
+        assert cfg.model.variant == "hyperbolic", d
+    elif d.get("static_center", True):
+        assert cfg.model.variant == "euclidean_static", d
+    else:
+        assert cfg.model.variant == "euclidean_dynamic", d
+    if d.get("debug"):
+        assert cfg.opt.epochs == 10  # reference smoke cap
+    assert cfg.data.seg_len == d.get("dataset_seg_len", 12)
