@@ -151,6 +151,18 @@ def build_store(
             f"length {lengths[rows[i]]} for person row {rows[i]} "
             f"({int(bad.sum())} violations total)"
         )
+    # Drop trajectories no window ever reads BEFORE padding: every person
+    # is padded to the split's longest trajectory, so window-less tracks
+    # (shorter than seg_len, or all-discontinuous) would occupy full
+    # [f_max, V*C] HBM rows for nothing (round-5 review finding). Remap
+    # window_person onto the kept rows.
+    used = np.unique(rows)
+    if len(used) < len(persons):
+        remap = np.full(len(persons), -1, np.int64)
+        remap[used] = np.arange(len(used))
+        rows = remap[rows]
+        w_person = rows.tolist()
+        persons = [persons[i] for i in used]
     f_max = max(p.shape[0] for p in persons)
     v, f = persons[0].shape[1], persons[0].shape[2]
     padded = np.zeros((len(persons), f_max, v, f), np.float32)

@@ -66,6 +66,10 @@ def evaluate_windows(
 ) -> EvalResult:
     """Aggregate per-window anomaly scores into a frame-level AUC.
 
+    Raises a clear error for an empty ground-truth dict up front — the
+    np.concatenate it would otherwise hit deep in the transform loop says
+    nothing about the actual cause (an empty or mispointed gt_dir).
+
     Args:
         window_scores: [N] scalar anomaly score per (window, transform) item,
             transform-major (item i = window i % NW of transform i // NW).
@@ -91,6 +95,11 @@ def evaluate_windows(
             error_per_person_scene_{s}_scenario_{c}.npy` [P, F] + `gt_masks/
             scene_{s}_scenario_{c}.npy`) for plot_person_scores et al.
     """
+    if not ground_truths:
+        raise ValueError(
+            "ground_truths is empty — no '<scene>_<clip>.npy' masks were "
+            "found; check the configured gt directory (test_path / gt_path)"
+        )
     window_scores = np.asarray(window_scores)
     meta = np.asarray(meta)
     frame_ids = np.asarray(frame_ids)

@@ -27,7 +27,6 @@ import functools
 from typing import Dict, Optional, Tuple
 
 import jax
-import jax.flatten_util  # ravel_pytree (flat-carry scanned epochs)
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -47,8 +46,6 @@ from .state import TrainState, clamp_center, init_state
 
 
 def model_kwargs_from_config(cfg: Config) -> dict:
-    import jax.numpy as jnp
-
     dtype = jnp.bfloat16 if cfg.run.compute_dtype == "bfloat16" else jnp.float32
     return dict(
         dtype=dtype,
@@ -142,10 +139,28 @@ class Trainer:
         # device-side preprocessing over whole trajectories (TrajectoryStore,
         # data/device_pipeline.py — the BASELINE north star).
         self._pipeline = "store" if isinstance(train_ds, TrajectoryStore) else "windows"
-        if val_ds is not None:
-            assert isinstance(val_ds, TrajectoryStore) == (self._pipeline == "store"), (
+        # Real raises, not asserts: these host-side safety nets must survive
+        # python -O (same policy as device_pipeline.py:141-152).
+        if val_ds is not None and (
+            isinstance(val_ds, TrajectoryStore) != (self._pipeline == "store")
+        ):
+            raise ValueError(
                 "train and validation datasets must use the same pipeline kind"
             )
+        # The transform table is built from cfg.data.num_transform while the
+        # index stream spans len(ds) = NW * ds.num_transform — a mismatch
+        # would make jnp.take CLIP out-of-range transform rows (silently
+        # scoring with the wrong affine matrix, round-5 review finding).
+        # score_all on a num_transform=1 dataset (the serving raw-windows
+        # path) stays valid: every trans_idx is 0 = the identity row.
+        for name, ds in (("train", train_ds), ("validation", val_ds)):
+            k = getattr(ds, "num_transform", None)
+            if ds is not None and k not in (None, 1, cfg.data.num_transform):
+                raise ValueError(
+                    f"{name} dataset carries num_transform={k} but the "
+                    f"config says {cfg.data.num_transform}; rebuild the "
+                    "dataset with the config's transform count"
+                )
         self.train_data = self._device_data(train_ds)
         self.val_data = self._device_data(val_ds) if val_ds is not None else None
 
@@ -160,8 +175,6 @@ class Trainer:
             self._train_epoch_impl, donate_argnums=0,
             static_argnames=("frozen_bn",),
         )
-        self._embed_step = jax.jit(
-            self._embed_step_impl, static_argnames=("window_shape",))
         self._embed_many = jax.jit(
             self._embed_many_impl, static_argnames=("window_shape",))
         self._score_fn = jax.jit(self._score_impl)
@@ -427,8 +440,13 @@ class Trainer:
 
                 k_aug, k_fwd = jax.random.split(jax.random.fold_in(step_rng, 1))
                 batch2 = strong_augment(batch, k_aug)
+                # frozen_bn must reach the second view too, or running
+                # statistics keep mutating (with strong-augmentation
+                # statistics, no less) after the freeze epoch (round-5
+                # review finding).
                 out2, new_bs = self._forward(
-                    params, new_bs, batch2, train=True, rng=k_fwd
+                    params, new_bs, batch2, train=True, rng=k_fwd,
+                    frozen_bn=frozen_bn,
                 )
                 z2 = objectives.latent_of(self.cfg.model.variant, out2)
                 l_con, _ = contrastive_loss(
@@ -642,6 +660,21 @@ class Trainer:
 
         return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
 
+    def _chunked_indices(self, n: int):
+        """[K, B] wrap-padded index chunks on the data-sharded layout, plus
+        K — the shared front half of embed_all/score_all (one copy so a fix
+        to the padding/sharding cannot miss the other path)."""
+        bs = self.batch_size
+        k = (n + bs - 1) // bs
+        idx = (np.arange(k * bs) % n).reshape(k, bs)  # wrap-pad the tail
+        idx_dev = jax.device_put(
+            jnp.asarray(idx),
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
+            ),
+        )
+        return idx_dev, k
+
     def embed_all(
         self, state: TrainState, ds: SegmentDataset, data, return_rec: bool = False
     ):
@@ -649,23 +682,14 @@ class Trainer:
         every (window x transform) item: pad to a whole number of batches and
         run ONE scanned device call."""
         n = len(ds)
-        bs = self.batch_size
-        k = (n + bs - 1) // bs
-        idx = np.arange(k * bs) % n  # wrap-pad the tail
-        idx = idx.reshape(k, bs)
-        idx_dev = jax.device_put(
-            jnp.asarray(idx),
-            jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
-            ),
-        )
+        idx_dev, k = self._chunked_indices(n)
         rng = jax.random.fold_in(state.rng, 7)
         zs, recs = self._embed_many(
             state.params, state.batch_stats, data, idx_dev, rng,
             window_shape=self._window_shape_of(ds))
-        z = self._fetch_global(zs).reshape(k * bs, -1)[:n]
+        z = self._fetch_global(zs).reshape(k * self.batch_size, -1)[:n]
         if return_rec:
-            return z, self._fetch_global(recs).reshape(k * bs)[:n]
+            return z, self._fetch_global(recs).reshape(k * self.batch_size)[:n]
         return z
 
     def score_all(self, state: TrainState, ds: SegmentDataset, data):
@@ -674,23 +698,15 @@ class Trainer:
         distance fused — see _score_many_impl). Returns ([N] scores,
         [N] rec errors) as numpy."""
         n = len(ds)
-        bs = self.batch_size
-        k = (n + bs - 1) // bs
-        idx = (np.arange(k * bs) % n).reshape(k, bs)
-        idx_dev = jax.device_put(
-            jnp.asarray(idx),
-            jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec(None, pmesh.DATA_AXIS)
-            ),
-        )
+        idx_dev, k = self._chunked_indices(n)
         rng = jax.random.fold_in(state.rng, 7)
         scores, recs = self._score_many(
             state.params, state.batch_stats, data, idx_dev, rng,
             state.center, state.inv_cov, state.mean_vector,
             window_shape=self._window_shape_of(ds),
         )
-        return (self._fetch_global(scores).reshape(k * bs)[:n],
-                self._fetch_global(recs).reshape(k * bs)[:n])
+        return (self._fetch_global(scores).reshape(k * self.batch_size)[:n],
+                self._fetch_global(recs).reshape(k * self.batch_size)[:n])
 
     # ------------------------------------------------------------ center init
 
@@ -707,7 +723,8 @@ class Trainer:
             ws, w = hyp.streaming_midpoint_stats(jnp.asarray(z_h))
             c = hyp.midpoint_from_stats(ws, w)
             c = jnp.asarray(c)
-            assert bool(jnp.all(jnp.abs(c) < 1.0)), "center out of the ball"
+            if not bool(jnp.all(jnp.abs(c) < 1.0)):  # survives python -O
+                raise ValueError("hyperbolic center left the Poincaré ball")
         else:
             c = jnp.asarray(z.mean(axis=0, dtype=np.float64), jnp.float32)
             c = clamp_center(c, self.cfg.opt.center_tolerance)
@@ -843,7 +860,14 @@ class Trainer:
             # uninterrupted one — crash-recovery reproduces the original run
             # exactly (cli/supervise.py, tests/test_supervise.py).
             perm = np.random.default_rng((cfg.run.seed, epoch)).permutation(n)
-            idx = perm[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+            # Wrap-pad modulo n: only active when n < data_axis (bs rounded
+            # UP past n so the batch-sharded device_put stays valid); the
+            # plain slice would reshape-crash there (round-5 review). The
+            # n % bs tail drop in the common case is the documented
+            # deviation PARITY.md lists (fixed shapes for jit; the
+            # reference's loader emits a ragged final batch).
+            flat = perm[np.arange(steps_per_epoch * bs) % n]
+            idx = flat.reshape(steps_per_epoch, bs)
             idx_dev = jax.device_put(
                 jnp.asarray(idx),
                 jax.sharding.NamedSharding(

@@ -217,3 +217,41 @@ def test_load_alphapose_store_loader(tmp_path, rng):
     with pytest.raises(ValueError, match="pre-fitted"):
         alphapose.load_alphapose_store(
             str(tmp_path), normalization_strategy="robust")
+
+
+def test_store_drops_windowless_trajectories():
+    """Trajectories that yield no window (shorter than seg_len) must not
+    occupy padded HBM rows; window_person is remapped onto the kept rows
+    and gathers are unchanged (round-5 review finding)."""
+    from coskad_tpu.data.alphapose import PersonTrajectory
+    from coskad_tpu.data.device_pipeline import build_store, gather_batch_from_store
+
+    rng = np.random.default_rng(0)
+
+    def traj(pid, n):
+        return PersonTrajectory(
+            person_id=pid, frame_keys=list(range(1, n + 1)),
+            keypoints=rng.normal(size=(n, 5, 3)),
+        )
+
+    long_a, short, long_b = traj(1, 40), traj(2, 4), traj(3, 30)
+    clips = [(1, 1, [long_a, short, long_b])]
+    store = build_store(clips, seg_len=6, seg_stride=1, kp18_format=False,
+                        normalization="none", num_transform=1)
+    # the 4-frame trajectory contributes no windows and no padded row
+    assert store.traj.shape[0] == 2
+    assert store.window_person.max() == 1
+    # the remapped gather still reads the right person's keypoints
+    import jax.numpy as jnp
+
+    from coskad_tpu.data.transforms import canonical_transforms
+
+    idx = jnp.asarray([0, store.num_windows - 1])
+    table = jnp.asarray(canonical_transforms(1))
+    batch = gather_batch_from_store(
+        store, store.traj, jnp.asarray(store.window_person),
+        jnp.asarray(store.window_start), idx, table, num_coords=2)
+    start_b = int(store.window_start[-1])
+    np.testing.assert_allclose(
+        np.asarray(batch[1]).transpose(1, 2, 0),
+        long_b.keypoints[start_b:start_b + 6, :, :2], rtol=1e-6)

@@ -468,3 +468,57 @@ def test_vae_stabilizer_knobs():
     st2 = st.replace(rng=jax.random.PRNGKey(123))
     z2 = tr_s.embed_all(st2, ds, tr_s.train_data)
     assert not np.allclose(z1, z2)
+
+
+def test_contrastive_second_view_respects_frozen_bn():
+    """freeze_bn_after must freeze BOTH forward passes of the contrastive
+    step: the strongly-augmented view previously defaulted frozen_bn=False
+    and kept mutating running stats after the freeze (round-5 review)."""
+    import dataclasses
+
+    from helpers import synthetic_segments, tiny_config
+
+    ds, _ = synthetic_segments(n_frames=60, num_transform=1)
+    cfg = tiny_config(contrastive_weight=0.5)
+    cfg = dataclasses.replace(
+        cfg, run=dataclasses.replace(cfg.run, freeze_bn_after=0))
+    trainer = Trainer(cfg, ds)
+    state = trainer.init_state()
+    state = trainer.initialize_center(state)
+    before = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    state, _ = trainer.fit(state=state, epochs=1)  # epoch 0 >= freeze -> frozen
+    after = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    for b, a in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(b, a)
+
+
+def test_fit_with_dataset_smaller_than_data_axis():
+    """n logical windows < the data-mesh axis: the rounded-up batch is
+    wrap-padded modulo n instead of reshape-crashing (round-5 review)."""
+    from helpers import synthetic_segments, tiny_config
+
+    ds, _ = synthetic_segments(n_frames=20, seg_len=6, n_actors=1,
+                               stride=6, num_transform=1)
+    assert len(ds) < 8  # fewer logical items than the 8-device mesh
+    trainer = Trainer(tiny_config(batch_size=16), ds)
+    state, hist = trainer.fit(epochs=1)
+    assert np.isfinite(hist["loss"][0])
+
+
+def test_num_transform_mismatch_is_rejected():
+    """A dataset whose num_transform disagrees with the config (other than
+    the always-safe 1) must be rejected at Trainer construction — an
+    out-of-range transform index would be silently CLIPPED by jnp.take to
+    the wrong affine matrix (round-5 review)."""
+    import dataclasses
+
+    from helpers import synthetic_segments, tiny_config
+
+    ds, _ = synthetic_segments(n_frames=40, num_transform=4)
+    cfg = tiny_config()  # data.num_transform = 2
+    with pytest.raises(ValueError, match="num_transform"):
+        Trainer(cfg, ds)
+    # num_transform=1 datasets stay allowed (the serving raw-windows path)
+    ds1, _ = synthetic_segments(n_frames=40, num_transform=1)
+    Trainer(cfg, ds1)
