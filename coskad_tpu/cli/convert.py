@@ -23,6 +23,7 @@ coskad_tpu/interop.py for the weight-layout translation rules.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main(argv=None):
@@ -57,6 +58,18 @@ def main(argv=None):
             parser.error("--to-torch requires --out")
         out = export_checkpoint(args.ckpt, cfg, args.out)
         print(f"[coskad] exported {args.ckpt} -> {out} (reference format)")
+        if args.scaler:
+            # The reference keeps the fitted scaler as a SEPARATE pickle
+            # next to its checkpoints (exp_dir/robust.pkl,
+            # utils/dataset.py:176-179); --scaler was previously accepted
+            # and silently dropped in this direction (round-5 review).
+            import shutil
+
+            dst = os.path.join(os.path.dirname(os.path.abspath(out)),
+                               "robust.pkl")
+            shutil.copyfile(args.scaler, dst)
+            print(f"[coskad] copied scaler pickle -> {dst} (the reference "
+                  "loads it from the experiment directory)")
         return out
     out = convert_checkpoint(args.ckpt, cfg, out_path=args.out,
                              scaler_path=args.scaler,

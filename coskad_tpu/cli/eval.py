@@ -91,6 +91,23 @@ def main(argv=None):
     state, _, extra = checkpoint.restore(ckpt_path, state, payload=payload)
     state = trainer.attach_state(state)
     print(f"[coskad] restored {ckpt_path} {extra}")
+    if (cfg.model.variant == "vae"
+            and float(np.linalg.norm(np.asarray(state.mean_vector))) == 0.0):
+        # Converted 'ps' VAE checkpoints cannot carry the scoring anchor
+        # (the reference never registers mean_vector for 'ps',
+        # models/sts/vae.py:57-58 — its own offline eval would
+        # AttributeError). Recompute it the way the reference's in-session
+        # hooks do: the empirical mean of the eval split's latents
+        # (spherical_vae.py:110-116). Without this, every window would
+        # score the constant 1 - cos(z, 0) = 1.0.
+        z = trainer.embed_all(state, test_ds, trainer.train_data)
+        mv = jnp.asarray(z.mean(axis=0), jnp.float32)
+        from ..parallel import mesh as pmesh
+
+        state = state.replace(
+            mean_vector=pmesh.device_put_replicated(mv, trainer.mesh))
+        print("[coskad] mean_vector was unset (ps-VAE checkpoint); "
+              "recomputed from the eval split's latents")
     _mark("upload")  # device upload + state restore (+model init compile)
 
     # One scanned device dispatch for the whole embed+score pass.

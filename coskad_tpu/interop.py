@@ -327,6 +327,21 @@ def convert_state_dict(
             # mean_vector is registered [1, D], vae.py:58), inv_cov [D, D].
             shape = (latent, latent) if dst_key == "inv_cov" else (latent,)
             buffers[dst_key] = val.reshape(shape)
+    if (is_vae and model.distribution == "ps"
+            and "mean_vector" not in buffers):
+        # Structural in the reference, not a bad file: the 'ps' VAE never
+        # REGISTERS mean_vector (models/sts/vae.py:57-58 registers it only
+        # for 'normal'); training assigns it as a plain attribute
+        # (spherical_vae.py:113), so no ps checkpoint can carry the scoring
+        # anchor — the reference's own offline eval would AttributeError on
+        # it (eval_COSKAD.py:191). cli.eval recomputes the anchor from the
+        # eval split's latents (the same empirical mean the reference's
+        # in-session hooks use) when it finds it zeroed; warn so a library
+        # caller scoring the raw TrainState knows why scores would be
+        # constant otherwise.
+        print("[convert] note: 'ps' VAE checkpoints cannot carry "
+              "mean_vector (never registered by the reference); cli.eval "
+              "recomputes the scoring anchor from the eval split's latents")
 
     schedule = list(model.layer_channels) + [hidden]
     if et == "sts_gcn":

@@ -16,16 +16,13 @@ minus ground truth.
 from __future__ import annotations
 
 import json
-from dataclasses import asdict
-from typing import Dict, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 
 from .config import Config
 from .data.alphapose import parse_clip_json
 from .data.normalize import normalize
-from .data.transforms import canonical_transforms
 from .data.windows import SegmentDataset, keypoints17_to_coco18, segment_clip
 from .score.frames import actor_frame_scores
 from .score.smoothing import score_process
@@ -141,9 +138,21 @@ class AnomalyScorer:
             if d.normalization_strategy == "robust":
                 from .data.normalize import normalize_robust
 
+                scaler = getattr(self, "scaler", None)
+                if scaler is None:
+                    # Fitting quantiles on each REQUEST's windows would
+                    # score every batch in its own coordinate system (a
+                    # near-duplicate window scores differently depending on
+                    # what shares its request) — the same hazard streaming
+                    # hard-errors on (streaming.py). Round-5 review.
+                    raise ValueError(
+                        "robust normalization needs the training-fitted "
+                        "scaler: load the checkpoint that embeds it, or "
+                        "re-convert with --scaler robust.pkl"
+                    )
                 raw, _ = normalize_robust(
                     raw, vid_res=d.vid_res, symm_range=d.symm_range,
-                    scaler=getattr(self, "scaler", None),
+                    scaler=scaler,
                 )
             else:
                 raw, _ = normalize(

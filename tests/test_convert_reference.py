@@ -656,3 +656,81 @@ def test_convert_opt_state_matches_trainer_layout(tmp_path):
     train_cli.main(["--config", cfg_path, "--epochs", "2", "--resume"])
     final, _, extra = checkpoint.restore(out, template)
     assert extra["epoch"] == 1  # epoch 0 came from the ckpt, epoch 1 trained
+
+
+def test_convert_ps_vae_then_eval_recovers_anchor(tmp_path):
+    """'ps' VAE checkpoints CANNOT carry mean_vector (the reference only
+    registers that buffer for 'normal', models/sts/vae.py:57-58; its own
+    offline eval would AttributeError). The convert->eval flow must not
+    silently score the constant 1 - cos(z, 0): cli.eval detects the zeroed
+    anchor and recomputes it from the eval split's latents, the same
+    empirical mean the reference's in-session hooks use
+    (spherical_vae.py:110-116). Round-5 review finding."""
+    import yaml
+
+    from fixtures import make_synthetic_dataset
+
+    from coskad_tpu import interop
+    from coskad_tpu.cli import eval as eval_cli
+    from coskad_tpu.cli.common import load_config
+
+    _, ref_vae = _reference_sts()
+    import torch
+
+    torch.manual_seed(9)
+    ref = ref_vae.STSVAE(**DIMS, encoder_type="sts_gcn", projector="linear",
+                         distance="euclidean", dropout=0.0,
+                         distribution="ps", bias="cpu", device="cpu")
+    ref.eval()
+    _randomize(ref, seed=9)
+    ckpt = _lightning_ckpt(tmp_path, ref)
+
+    cfg_path = make_synthetic_dataset(str(tmp_path / "data"))
+    d = dict(yaml.safe_load(open(cfg_path)))
+    d.update(use_vae=True, use_decoder=False, distribution="ps",
+             dataset_kp18_format=False)  # DIMS are 17-joint
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(d, f)
+    cfg = load_config(cfg_path)
+    out = interop.convert_checkpoint(ckpt, cfg,
+                                     out_path=str(tmp_path / "conv.ckpt"))
+
+    from coskad_tpu.train import checkpoint as ck
+
+    payload = ck.read_payload(out)
+    assert float(np.abs(np.asarray(
+        payload["state"]["mean_vector"])).max()) == 0.0  # truly absent
+
+    result = eval_cli.main(["--config", cfg_path, "--ckpt", out])
+    # with the recovered anchor the scores are NOT the constant 1.0
+    assert float(np.std(result.scores)) > 1e-6
+    assert np.isfinite(result.auc)
+
+
+def test_to_torch_scaler_copied_beside_output(tmp_path):
+    """--to-torch --scaler must place the pickle where the reference loads
+    it (next to the exported checkpoint as robust.pkl) instead of silently
+    dropping it (round-5 review finding)."""
+    import pickle
+
+    from fixtures import make_synthetic_dataset
+
+    from coskad_tpu.cli import convert as convert_cli
+    from coskad_tpu.cli import train as train_cli
+    from coskad_tpu.data.normalize import RobustScalerState
+
+    cfg_path = make_synthetic_dataset(str(tmp_path / "d"), n_train_clips=1,
+                                      n_test_clips=1)
+    train_cli.main(["--config", cfg_path, "--epochs", "1"])
+    ckpt = str(tmp_path / "d" / "checkpoints" / "Synthetic" / "smoke" /
+               "best.ckpt")
+    scaler_pkl = str(tmp_path / "robust_src.pkl")
+    with open(scaler_pkl, "wb") as f:
+        pickle.dump(RobustScalerState(center=np.zeros(2), scale=np.ones(2)), f)
+    outdir = tmp_path / "exported"
+    outdir.mkdir()
+    out = str(outdir / "ref_format.ckpt")
+    convert_cli.main(["--config", cfg_path, "--to-torch", "--ckpt", ckpt,
+                      "--out", out, "--scaler", scaler_pkl])
+    assert os.path.exists(out)
+    assert os.path.exists(str(outdir / "robust.pkl"))

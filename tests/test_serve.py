@@ -151,3 +151,36 @@ def test_serve_cli_batch_scores_without_gt(tmp_path):
         else os.path.basename(clip0)[:-len(".json")]
     data = json.load(open(out / f"{stem}_scores.json"))
     assert len(data) == len(gt)
+
+
+def test_robust_preprocessing_without_scaler_is_rejected():
+    """A robust-normalized scorer with no fitted scaler must refuse to
+    preprocess windows: fitting quantiles on each request's batch would
+    score every request in its own coordinate system (round-5 review;
+    streaming already hard-errors on the same condition)."""
+    import dataclasses
+
+    import pytest
+
+    from coskad_tpu.serve import AnomalyScorer
+    from helpers import tiny_config
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(
+            cfg.data, normalization_strategy="robust", normalize_pose=True))
+    from coskad_tpu.train.loop import Trainer
+    from coskad_tpu.data.windows import SegmentDataset
+
+    dummy = SegmentDataset(
+        data=np.zeros((1, 3, cfg.data.seg_len, cfg.data.n_joints), np.float32),
+        meta=np.zeros((1, 4), np.int64),
+        frame_ids=np.zeros((1, cfg.data.seg_len), np.int32),
+        num_transform=1,
+    )
+    trainer = Trainer(cfg, dummy)
+    scorer = AnomalyScorer(cfg, trainer.init_state(), trainer=trainer)
+    raw = np.random.default_rng(0).normal(
+        size=(4, cfg.data.seg_len, cfg.data.n_joints, 3))
+    with pytest.raises(ValueError, match="scaler"):
+        scorer.preprocess_windows(raw)
